@@ -1,0 +1,74 @@
+"""1-D convolution, batch norm, and layer norm as pure functions.
+
+Layout convention is channels-last (B, T, C) throughout — XLA:TPU prefers the
+feature dim innermost (lane dim = 128); the reference's torch code is
+channels-first (B, C, T) and transposes around every conv
+(/root/reference/nets/modules/encoder_sa.py:134, variance_predictor.py:86-90).
+
+BatchNorm parity note: torch BatchNorm1d over padded (B, C, T) includes
+padded positions in the batch statistics; the reference trains that way
+(encoder_sa.py:74, decoder_sa.py:214).  ``batch_norm`` reproduces exactly
+that (no masking), with running stats updated using torch's rules (momentum
+0.1, biased variance for the normalizer, unbiased for the running var).
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+
+def conv1d(x, kernel, bias=None):
+    """Same-padded 1-D conv. x: (B, T, Cin); kernel: (W, Cin, Cout)."""
+    width = kernel.shape[0]
+    pad = (width - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x,
+        kernel,
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        dimension_numbers=("NWC", "WIO", "NWC"),
+    )
+    if bias is not None:
+        out = out + bias
+    return out
+
+
+class BatchNormParams(NamedTuple):
+    scale: jax.Array  # (C,) gamma
+    bias: jax.Array  # (C,) beta
+
+
+class BatchNormState(NamedTuple):
+    mean: jax.Array  # (C,) running mean
+    var: jax.Array  # (C,) running var (unbiased, torch-style)
+
+
+def batch_norm(x, params: BatchNormParams, state: BatchNormState, *, train,
+               momentum=0.1, eps=1e-5):
+    """BatchNorm over all positions of (B, T, C) (torch BatchNorm1d parity).
+
+    Returns (y, new_state). In eval mode new_state is state unchanged.
+    """
+    if train:
+        n = x.shape[0] * x.shape[1]
+        mean = jnp.mean(x, axis=(0, 1))
+        var = jnp.mean(jnp.square(x - mean), axis=(0, 1))  # biased
+        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        unbiased = var * (n / max(n - 1, 1))
+        new_state = BatchNormState(
+            mean=(1 - momentum) * state.mean + momentum * mean,
+            var=(1 - momentum) * state.var + momentum * unbiased,
+        )
+    else:
+        y = (x - state.mean) * jax.lax.rsqrt(state.var + eps)
+        new_state = state
+    return y * params.scale + params.bias, new_state
+
+
+def layer_norm(x, scale, bias, eps=1e-12):
+    """LayerNorm over the last dim (espnet transformer LayerNorm parity,
+    used by the variance/duration predictors: variance_predictor.py:62)."""
+    mean = jnp.mean(x, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
+    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
