@@ -1,1 +1,3 @@
-from fcl_taco2_tpu.models.config import ModelConfig  # noqa: F401
+from fcl_taco2_tpu.models.config import (ModelConfig, student_config,  # noqa: F401
+                                         teacher_config)
+from fcl_taco2_tpu.models.taco2_sa import Batch, Tacotron2SA  # noqa: F401

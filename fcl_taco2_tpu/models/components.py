@@ -122,11 +122,16 @@ def encoder_convs_apply(params, state, x, rng, dropout_rate, train,
     return x, {"bns": new_states}
 
 
-def postnet_apply(params, state, x, rng, dropout_rate, train, capture=None):
+def postnet_apply(params, state, x, rng, dropout_rate, train, capture=None,
+                  seq_mask=None):
     """conv->BN->tanh->dropout x(n-1), final conv->BN->dropout (no tanh)
     (decoder_sa.py:274-286). Returns the residual-correction signal; caller
     adds it to before_outs. ``capture`` collects per-layer outs for KD
-    (decoder_sa_kd.py:334-352 Postnet returning all five conv outputs)."""
+    (decoder_sa_kd.py:334-352 Postnet returning all five conv outputs).
+
+    ``seq_mask`` (B, T) zeroes activations past each utterance's length
+    between layers; with it, a padded batch reproduces the reference's
+    exact-length batch-1 inference (finite array + zero conv padding)."""
     n = len(params["convs"])
     for i, conv in enumerate(params["convs"]):
         rng, sub = _split(rng)
@@ -136,6 +141,8 @@ def postnet_apply(params, state, x, rng, dropout_rate, train, capture=None):
         if i < n - 1:
             x = jnp.tanh(x)
         x = maybe_dropout(sub, x, dropout_rate, train)
+        if seq_mask is not None:
+            x = x * seq_mask[..., None].astype(x.dtype)
         if capture is not None:
             capture.append(x)
     return x, state

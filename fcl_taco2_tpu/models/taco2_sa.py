@@ -1,0 +1,293 @@
+"""FCL-taco2 model assembly: encoder + variance adaptor + SA decoder + losses.
+
+Reference: /root/reference/nets/teacher_training/e2e_tts_tacotron2_sa.py
+(Tacotron2_sa): forward at :520-622 (L1+MSE mel before/after postnet +
+log-duration MSE + pitch/energy MSE), inference at :624-683 (duration /
+f0 / energy control-knob overrides).
+
+TPU-first: one pure ``loss_fn`` suitable for jit/grad with donated params;
+inference is a single jitted function — predicted durations never leave the
+device (the utterance regroup plan is computed with cumsums + scatter instead
+of the reference's host loops at :665-671 and decoder_sa.py:619-630).
+"""
+
+from typing import Any, Dict, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from fcl_taco2_tpu.models import components as C
+from fcl_taco2_tpu.models.config import ModelConfig
+from fcl_taco2_tpu.models.decoder import (apply_postnet_inference,
+                                          decoder_inference, decoder_init,
+                                          decoder_teacher_forced)
+from fcl_taco2_tpu.models.encoder import encoder_apply, encoder_init
+from fcl_taco2_tpu.ops.masking import (lengths_to_non_pad_mask,
+                                       lengths_to_pad_mask, masked_l1,
+                                       masked_mse)
+from fcl_taco2_tpu.ops.regroup import gather_segments, gather_token_vectors
+
+
+class Batch(NamedTuple):
+    """One training batch, all static-bucketed shapes (converter output)."""
+
+    tokens: Any        # (B, Tmax) int32, PAD=0
+    ilens: Any         # (B,)
+    mel: Any           # (B, Lmax, odim)
+    olens: Any         # (B,)
+    durations: Any     # (B, Tmax) int32 frames per token
+    f0: Any            # (B, Tmax, 1) phoneme-avg normalized log-F0
+    energy: Any        # (B, Tmax, 1) phoneme-avg normalized energy
+    # regroup plan (ops/regroup.build_plan)
+    seg_utt: Any       # (P,)
+    seg_tok: Any       # (P,)
+    seg_start: Any     # (P,)
+    frame_mask: Any    # (P, D) bool
+    position: Any      # (P, D) float32
+    utt_gather: Any    # (B, Lmax) int32
+    utt_mask: Any      # (B, Lmax) bool
+
+
+class Tacotron2SA:
+    """Functional model: params/state pytrees + pure apply methods."""
+
+    def __init__(self, cfg: ModelConfig):
+        self.cfg = cfg
+
+    # ---------------- init ----------------
+
+    def init(self, key):
+        cfg = self.cfg
+        keys = random.split(key, 7)
+        enc_p, enc_s = encoder_init(keys[0], cfg)
+        dec_p, dec_s = decoder_init(keys[1], cfg)
+        params = {
+            "encoder": enc_p,
+            "decoder": dec_p,
+            "duration_predictor": C.variance_predictor_init(
+                keys[2], cfg.dec_idim, cfg.duration_predictor_layers,
+                cfg.duration_predictor_chans,
+                cfg.duration_predictor_kernel_size),
+        }
+        state = {"encoder": enc_s, "decoder": dec_s}
+        if cfg.use_fe_condition:
+            params["pitch_predictor"] = C.variance_predictor_init(
+                keys[3], cfg.dec_idim, cfg.pitch_predictor_layers,
+                cfg.pitch_predictor_chans, cfg.pitch_predictor_kernel_size)
+            params["energy_predictor"] = C.variance_predictor_init(
+                keys[4], cfg.dec_idim, cfg.energy_predictor_layers,
+                cfg.energy_predictor_chans, cfg.energy_predictor_kernel_size)
+            params["pitch_embed"] = C.scalar_embed_init(
+                keys[5], cfg.dec_idim, cfg.pitch_embed_kernel_size)
+            params["energy_embed"] = C.scalar_embed_init(
+                keys[6], cfg.dec_idim, cfg.energy_embed_kernel_size)
+        return params, state
+
+    # ---------------- shared front half ----------------
+
+    def _encode_and_predict(self, params, state, batch, rng, train,
+                            capture_kd=False):
+        """Encoder + duration/pitch/energy predictors + prosody embeds.
+
+        Mirrors e2e_tts_tacotron2_sa.py:552-583.
+        """
+        cfg = self.cfg
+        k_enc, k_dur, k_p, k_e, k_pe, k_ee = random.split(rng, 6)
+        Tmax = batch.tokens.shape[1]
+        hs, enc_state, enc_kd = encoder_apply(
+            params["encoder"], state["encoder"], cfg, batch.tokens,
+            batch.ilens, k_enc, train, capture_kd=capture_kd)
+        pad_mask = lengths_to_pad_mask(batch.ilens, Tmax)
+
+        d_outs = C.duration_predictor_apply(
+            params["duration_predictor"], hs, pad_mask, k_dur,
+            cfg.duration_predictor_dropout_rate, train)
+
+        p_outs = e_outs = p_embs = e_embs = None
+        if cfg.use_fe_condition:
+            p_outs = C.variance_predictor_apply(
+                params["pitch_predictor"], hs, pad_mask, k_p,
+                cfg.pitch_predictor_dropout_rate, train)
+            e_outs = C.variance_predictor_apply(
+                params["energy_predictor"], hs, pad_mask, k_e,
+                cfg.energy_predictor_dropout_rate, train)
+            # embeds are computed from GROUND-TRUTH f0/energy at train time
+            # (e2e_tts_tacotron2_sa.py:582-583); caller passes the tracks.
+            p_embs = C.scalar_embed_apply(
+                params["pitch_embed"], batch.f0, k_pe,
+                cfg.pitch_embed_dropout_rate, train)
+            e_embs = C.scalar_embed_apply(
+                params["energy_embed"], batch.energy, k_ee,
+                cfg.energy_embed_dropout_rate, train)
+        return (hs, enc_state, enc_kd, pad_mask, d_outs, p_outs, e_outs,
+                p_embs, e_embs)
+
+    # ---------------- training forward ----------------
+
+    def loss_fn(self, params, state, batch: Batch, rng, train=True,
+                capture_kd=False):
+        """Returns (loss, aux) with aux = (report dict, new_state, knowledge).
+
+        Loss assembly parity: e2e_tts_tacotron2_sa.py:600-620
+        (l1 + mse + duration + pitch + energy, all masked means).
+        """
+        cfg = self.cfg
+        rng, k_dec = random.split(rng)
+        (hs, enc_state, enc_kd, pad_mask, d_outs, p_outs, e_outs, p_embs,
+         e_embs) = self._encode_and_predict(params, state, batch, rng, train,
+                                            capture_kd)
+
+        if cfg.use_fe_condition:
+            hs_cond = hs + p_embs + e_embs  # decoder_sa.py:461-462
+        else:
+            hs_cond = hs
+        enc_seg = gather_token_vectors(hs_cond, batch.seg_utt, batch.seg_tok)
+        seg_targets = gather_segments(batch.mel, batch.seg_utt,
+                                      batch.seg_start, batch.frame_mask)
+
+        after, before, dec_state, dec_kd = decoder_teacher_forced(
+            params["decoder"], state["decoder"], cfg, enc_seg, seg_targets,
+            batch.position, batch.frame_mask, batch.utt_gather,
+            batch.utt_mask, k_dec, train, capture_kd=capture_kd)
+
+        out_mask = batch.utt_mask[..., None]
+        l1 = masked_l1(after, batch.mel, out_mask) + \
+            masked_l1(before, batch.mel, out_mask)
+        mse = masked_mse(after, batch.mel, out_mask) + \
+            masked_mse(before, batch.mel, out_mask)
+        in_mask = ~pad_mask
+        dur = C.duration_loss(d_outs, batch.durations, in_mask,
+                              offset=cfg.duration_predictor_offset)
+        loss = l1 + mse + dur
+        report = {"l1_loss": l1, "mse_loss": mse, "dur_loss": dur}
+
+        if cfg.use_fe_condition:
+            pitch = masked_mse(p_outs, batch.f0, in_mask[..., None])
+            energy = masked_mse(e_outs, batch.energy, in_mask[..., None])
+            loss = loss + pitch + energy  # prosody_weight 1.0 (:612-613)
+            report["pitch_loss"] = pitch
+            report["energy_loss"] = energy
+        report["loss"] = loss
+
+        new_state = {"encoder": enc_state, "decoder": dec_state}
+        knowledge = None
+        if capture_kd:
+            # teacher-knowledge 5-tuple layout
+            # (…_kd_teacher.py:597-603): outputs, encoder items, decoder
+            # items, prosody items — caller applies stop_gradient.
+            knowledge = {
+                "after_outs": after,
+                "before_outs": before,
+                "encoder": enc_kd,
+                "decoder": [dec_kd["prenet"], dec_kd["lstm0"],
+                            dec_kd["lstm1"], *dec_kd["postnet"]],
+                "prosody": [d_outs[..., None], p_outs, e_outs, p_embs,
+                            e_embs],
+            }
+        return loss, (report, new_state, knowledge)
+
+    # ---------------- inference ----------------
+
+    def synthesize(self, params, state, tokens, ilens, rng,
+                   frame_budget: int, n_seg: Optional[int] = None,
+                   durations=None, f0=None, energy=None,
+                   d_factor: float = 1.0):
+        """Batched device-only synthesis.
+
+        Args:
+            tokens: (B, Tmax) int32 (PAD=0).
+            ilens: (B,) lengths.
+            frame_budget: static per-utterance output frame budget (Lmax).
+            n_seg: static segment budget; defaults to B*Tmax.
+            durations/f0/energy: optional (B, Tmax)/(B, Tmax, 1) overrides —
+                the reference's control knobs (e2e_tts_tacotron2_sa.py:642-658).
+            d_factor: multiplies predicted durations (speed control; an
+                extension over the reference's all-or-nothing dur override).
+
+        Returns dict(mel=(B, frame_budget, odim), olens=(B,), d_outs, ...).
+
+        The whole function is jittable: predicted durations are turned into
+        the segment plan with cumsums + gathers on device (cf. reference
+        host loops tts.py:665-671, decoder_sa.py:619-630).
+        """
+        cfg = self.cfg
+        B, Tmax = tokens.shape
+        D = cfg.max_dur
+        P = n_seg if n_seg is not None else B * Tmax
+        k_enc, k_dec = random.split(rng)
+
+        hs, _, _ = encoder_apply(params["encoder"], state["encoder"], cfg,
+                                 tokens, ilens, None, train=False)
+        pad_mask = lengths_to_pad_mask(ilens, Tmax)
+
+        if durations is None:
+            d_outs = C.duration_predictor_inference(
+                params["duration_predictor"], hs, pad_mask,
+                offset=cfg.duration_predictor_offset)
+            if d_factor != 1.0:
+                d_outs = jnp.round(d_outs.astype(jnp.float32)
+                                   * d_factor).astype(jnp.int32)
+        else:
+            d_outs = durations.astype(jnp.int32)
+        d_outs = jnp.clip(d_outs, 0, D)
+        d_outs = jnp.where(pad_mask, 0, d_outs)
+
+        if cfg.use_fe_condition:
+            if f0 is None:
+                p_outs = C.variance_predictor_apply(
+                    params["pitch_predictor"], hs, pad_mask, None,
+                    0.0, False)
+                e_outs = C.variance_predictor_apply(
+                    params["energy_predictor"], hs, pad_mask, None,
+                    0.0, False)
+            else:
+                p_outs, e_outs = f0, energy
+            p_embs = C.scalar_embed_apply(params["pitch_embed"], p_outs,
+                                          None, 0.0, False)
+            e_embs = C.scalar_embed_apply(params["energy_embed"], e_outs,
+                                          None, 0.0, False)
+            hs = hs + p_embs + e_embs
+        else:
+            p_outs = e_outs = None
+
+        # ---- device-side segment plan from durations ----
+        # Segments in utterance-major token order; zero-duration tokens keep
+        # a padded slot (masked), matching reference's dropped segments.
+        flat_dur = d_outs.reshape(B * Tmax)[:P]
+        seg_utt = (jnp.arange(P, dtype=jnp.int32) // Tmax)
+        seg_tok = (jnp.arange(P, dtype=jnp.int32) % Tmax)
+        csum = jnp.cumsum(flat_dur.reshape(B, Tmax), axis=1)
+        seg_start = (csum - d_outs).reshape(B * Tmax)[:P]
+        olens = jnp.minimum(csum[:, -1], frame_budget)
+        d_range = jnp.arange(D, dtype=jnp.int32)[None, :]
+        frame_mask = d_range < flat_dur[:, None]
+        position = jnp.where(
+            frame_mask,
+            d_range.astype(jnp.float32)
+            / jnp.maximum(flat_dur[:, None], 1).astype(jnp.float32),
+            0.0)
+
+        enc_seg = gather_token_vectors(hs, seg_utt, seg_tok)
+        seg_out = decoder_inference(params["decoder"], state["decoder"], cfg,
+                                    enc_seg, flat_dur, position, frame_mask,
+                                    k_dec)
+
+        # scatter phoneme frames into per-utterance timelines; frames past
+        # the budget or past each phoneme's duration go to a drop slot
+        frame_pos = seg_start[:, None] + d_range
+        keep = frame_mask & (frame_pos < frame_budget)
+        tgt = jnp.where(keep, seg_utt[:, None] * frame_budget + frame_pos,
+                        B * frame_budget)
+        flat = jnp.zeros((B * frame_budget + 1, cfg.odim), seg_out.dtype)
+        flat = flat.at[tgt.reshape(-1)].set(
+            seg_out.reshape(P * D, cfg.odim), mode="drop")
+        before = flat[:B * frame_budget].reshape(B, frame_budget, cfg.odim)
+
+        seq_mask = lengths_to_non_pad_mask(olens, frame_budget)
+        after = apply_postnet_inference(params["decoder"], state["decoder"],
+                                        cfg, before, seq_mask=seq_mask)
+        out_mask = seq_mask[..., None]
+        after = after * out_mask.astype(after.dtype)
+        return {"mel": after, "olens": olens, "d_outs": d_outs,
+                "p_outs": p_outs, "e_outs": e_outs}

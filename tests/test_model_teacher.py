@@ -1,0 +1,125 @@
+"""Teacher model: loss forward, gradient flow, overfit smoke, inference."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fcl_taco2_tpu.models import Tacotron2SA
+
+from helpers import synthetic_batch, tiny_config
+
+
+def test_loss_forward_finite_and_reported():
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg)
+    loss, (report, new_state, _) = model.loss_fn(
+        params, state, batch, jax.random.PRNGKey(1), train=True)
+    assert np.isfinite(float(loss))
+    for k in ["l1_loss", "mse_loss", "dur_loss", "pitch_loss", "energy_loss",
+              "loss"]:
+        assert k in report and np.isfinite(float(report[k])), k
+    # BN state must move in train mode
+    before = state["encoder"]["convs"]["bns"][0]["mean"]
+    after = new_state["encoder"]["convs"]["bns"][0]["mean"]
+    assert not np.allclose(np.asarray(before), np.asarray(after))
+
+
+def test_eval_mode_keeps_state_and_is_deterministic_modulo_prenet():
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg)
+    l1, (_, s1, _) = model.loss_fn(params, state, batch,
+                                   jax.random.PRNGKey(7), train=False)
+    l2, (_, s2, _) = model.loss_fn(params, state, batch,
+                                   jax.random.PRNGKey(7), train=False)
+    assert float(l1) == float(l2)  # same rng -> same prenet dropout
+    chex_equal = jax.tree_util.tree_all(jax.tree_util.tree_map(
+        lambda a, b: bool(jnp.all(a == b)), s1, state))
+    assert chex_equal  # eval must not touch BN state
+
+
+def test_gradients_reach_every_parameter():
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg)
+
+    grads = jax.grad(
+        lambda p: model.loss_fn(p, state, batch, jax.random.PRNGKey(1),
+                                train=True)[0])(params)
+    flat = jax.tree_util.tree_leaves_with_path(grads)
+    zero_paths = [jax.tree_util.keystr(path) for path, g in flat
+                  if float(jnp.max(jnp.abs(g))) == 0.0]
+    # the only legitimately zero gradient is the PAD embedding row (handled
+    # below by checking full-tensor zeros, not rows)
+    assert zero_paths == [], f"dead params: {zero_paths}"
+
+
+def test_overfit_two_utterances():
+    """A few adam steps must reduce the loss on a fixed tiny batch
+    (training-dynamics smoke, SURVEY.md §4 implication)."""
+    import optax
+
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg, B=2, Tmax=4)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    @jax.jit
+    def step(params, state, opt_state, key):
+        (loss, (_, new_state, _)), grads = jax.value_and_grad(
+            model.loss_fn, has_aux=True)(params, state, batch, key,
+                                         train=True)
+        updates, opt_state = opt.update(grads, opt_state)
+        return optax.apply_updates(params, updates), new_state, opt_state, \
+            loss
+
+    key = jax.random.PRNGKey(42)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, state, opt_state, loss = step(params, state, opt_state, sub)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.8, losses[::10]
+
+
+def test_synthesize_shapes_and_masking():
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    B, Tmax, F = 2, 4, 30
+    tokens = jnp.asarray(np.array([[1, 2, 3, 0], [4, 5, 0, 0]], np.int32))
+    ilens = jnp.asarray(np.array([3, 2], np.int32))
+
+    out = jax.jit(
+        lambda p, s, t, il, k: model.synthesize(p, s, t, il, k,
+                                                frame_budget=F)
+    )(params, state, tokens, ilens, jax.random.PRNGKey(3))
+    mel, olens = np.asarray(out["mel"]), np.asarray(out["olens"])
+    assert mel.shape == (B, F, cfg.odim)
+    assert (olens <= F).all()
+    for b in range(B):
+        assert np.all(mel[b, olens[b]:] == 0.0)
+    d = np.asarray(out["d_outs"])
+    assert d.shape == (B, Tmax) and (d[0, 3:] == 0).all() and \
+        (d[1, 2:] == 0).all()
+
+
+def test_synthesize_duration_control_knob():
+    """dur= override must set output length exactly
+    (e2e_tts_tacotron2_sa.py:642-646)."""
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.array([[1, 2, 3]], np.int32))
+    ilens = jnp.asarray(np.array([3], np.int32))
+    dur = jnp.asarray(np.array([[2, 0, 4]], np.int32))
+    out = model.synthesize(params, state, tokens, ilens,
+                           jax.random.PRNGKey(3), frame_budget=16,
+                           durations=dur)
+    assert int(out["olens"][0]) == 6
