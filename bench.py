@@ -1,0 +1,196 @@
+"""Headline benchmark: batch-1 mel synthesis speed (frames/sec) on TPU.
+
+Protocol mirrors the reference's measurement (BASELINE.md): frames of
+generated mel / wall-clock of model.inference, vocoder excluded, teacher
+config (512-dim), durations given so the workload is deterministic.
+
+``vs_baseline`` compares against a torch-CPU reimplementation of the
+reference's per-step Python decode loop (same math, same shapes — the
+reference itself cannot run here since espnet/chainer are not installed).
+The torch number is measured once and cached in BASELINE_local.json.
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, "BASELINE_local.json")
+
+IDIM, ODIM = 70, 80
+N_PHONES = 96          # realistic LJSpeech utterance (~10 s of speech)
+MEAN_DUR, MAX_DUR = 8, 50
+FRAME_BUDGET = 1024
+N_TIMED = 20
+
+
+def make_inputs(seed=0):
+    rng = np.random.default_rng(seed)
+    dur = np.clip(rng.poisson(MEAN_DUR, N_PHONES), 1, MAX_DUR).astype(
+        np.int32)
+    tokens = rng.integers(1, IDIM, N_PHONES).astype(np.int32)
+    return tokens, dur
+
+
+def torch_cpu_baseline():
+    """Reference-style decode: Python loop over frames, torch.nn.LSTMCell,
+    batch = one utterance's phonemes (decoder_sa.py:591-617 structure)."""
+    import torch
+
+    torch.manual_seed(0)
+    torch.set_num_threads(os.cpu_count() or 8)
+    eunits, dunits, prenet_units = 512, 1024, 256
+
+    embed = torch.nn.Embedding(IDIM, 512, padding_idx=0)
+    convs = torch.nn.ModuleList([
+        torch.nn.Sequential(
+            torch.nn.Conv1d(512, 512, 5, padding=2, bias=False),
+            torch.nn.BatchNorm1d(512), torch.nn.ReLU())
+        for _ in range(3)])
+    blstm = torch.nn.LSTM(512, eunits // 2, batch_first=True,
+                          bidirectional=True)
+    pitch_pred = torch.nn.Sequential(torch.nn.Conv1d(512, 384, 3, padding=1),
+                                     torch.nn.ReLU(),
+                                     torch.nn.Conv1d(384, 1, 1))
+    energy_pred = torch.nn.Sequential(torch.nn.Conv1d(512, 384, 3, padding=1),
+                                      torch.nn.ReLU(),
+                                      torch.nn.Conv1d(384, 1, 1))
+    pitch_embed = torch.nn.Conv1d(1, eunits, 9, padding=4)
+    energy_embed = torch.nn.Conv1d(1, eunits, 9, padding=4)
+    prenet = torch.nn.ModuleList([torch.nn.Linear(ODIM, prenet_units),
+                                  torch.nn.Linear(prenet_units,
+                                                  prenet_units)])
+    lstm0 = torch.nn.LSTMCell(eunits + prenet_units + 1, dunits)
+    lstm1 = torch.nn.LSTMCell(dunits, dunits)
+    feat_out = torch.nn.Linear(eunits + dunits, ODIM, bias=False)
+    postnet = torch.nn.ModuleList(
+        [torch.nn.Sequential(torch.nn.Conv1d(
+            ODIM if i == 0 else 512, ODIM if i == 4 else 512, 5, padding=2,
+            bias=False), torch.nn.BatchNorm1d(ODIM if i == 4 else 512))
+         for i in range(5)])
+    for m in [embed, blstm, pitch_pred, energy_pred, pitch_embed,
+              energy_embed, lstm0, lstm1, feat_out] + list(convs) \
+            + list(prenet) + list(postnet):
+        m.eval()
+
+    tokens_np, dur_np = make_inputs()
+    tokens = torch.from_numpy(tokens_np.astype(np.int64))
+    dur = torch.from_numpy(dur_np.astype(np.int64))
+
+    import torch.nn.functional as F
+
+    def decode_once():
+        with torch.no_grad():
+            x = embed(tokens.unsqueeze(0)).transpose(1, 2)
+            for c in convs:
+                x = c(x)
+            h, _ = blstm(x.transpose(1, 2))
+            h = h.squeeze(0)  # (T, eunits)
+            p = pitch_pred(h.T.unsqueeze(0))
+            e = energy_pred(h.T.unsqueeze(0))
+            h = h + pitch_embed(p).squeeze(0).T + \
+                energy_embed(e).squeeze(0).T
+            P = h.shape[0]
+            max_d = int(dur.max())
+            pos = torch.zeros(P, max_d)
+            for i in range(P):
+                d = int(dur[i])
+                pos[i, :d] = torch.arange(d) / d
+            z0 = torch.zeros(P, dunits)
+            c0 = torch.zeros(P, dunits)
+            z1 = torch.zeros(P, dunits)
+            c1 = torch.zeros(P, dunits)
+            prev = torch.zeros(P, ODIM)
+            outs = []
+            for t in range(max_d):  # the reference's hot Python loop
+                pn = prev
+                for lin in prenet:
+                    pn = F.dropout(torch.relu(lin(pn)), 0.5, training=True)
+                xt = torch.cat([h, pn, pos[:, t:t + 1]], dim=1)
+                z0, c0 = lstm0(xt, (z0, c0))
+                z1, c1 = lstm1(z0, (z1, c1))
+                out = feat_out(torch.cat([z1, h], dim=1))
+                outs.append(out)
+                prev = out
+            seg = torch.stack(outs, dim=1)  # (P, max_d, ODIM)
+            mel = torch.cat([seg[i, :int(dur[i])] for i in range(P)], 0)
+            m = mel.T.unsqueeze(0)
+            for i, pc in enumerate(postnet):
+                m = pc(m)
+                if i < 4:
+                    m = torch.tanh(m)
+            return mel + m.squeeze(0).T
+
+    decode_once()  # warm
+    n = 3
+    t0 = time.perf_counter()
+    for _ in range(n):
+        mel = decode_once()
+    dt = (time.perf_counter() - t0) / n
+    frames = int(dur.sum())
+    return frames / dt, frames
+
+
+def jax_tpu_run():
+    import jax
+    import jax.numpy as jnp
+    from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
+
+    cfg = teacher_config(idim=IDIM, odim=ODIM)
+    model = Tacotron2SA(cfg)
+    # jit the init: eager init is hundreds of tiny dispatches (slow over
+    # the axon tunnel); one compiled program instead
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+    tokens_np, dur_np = make_inputs()
+    Tmax = N_PHONES
+    tokens = jnp.asarray(tokens_np[None])
+    ilens = jnp.asarray(np.array([N_PHONES], np.int32))
+    durations = jnp.asarray(dur_np[None])
+
+    @jax.jit
+    def synth(params, state, tokens, ilens, durations, key):
+        return model.synthesize(params, state, tokens, ilens, key,
+                                frame_budget=FRAME_BUDGET,
+                                durations=durations)
+
+    key = jax.random.PRNGKey(1)
+    out = synth(params, state, tokens, ilens, durations, key)
+    jax.block_until_ready(out["mel"])  # compile + warm
+    t0 = time.perf_counter()
+    for i in range(N_TIMED):
+        out = synth(params, state, tokens, ilens, durations,
+                    jax.random.PRNGKey(i))
+    jax.block_until_ready(out["mel"])
+    dt = (time.perf_counter() - t0) / N_TIMED
+    frames = int(np.asarray(out["olens"])[0])
+    return frames / dt, frames, jax.devices()[0].platform
+
+
+def main():
+    if os.path.exists(CACHE):
+        with open(CACHE) as f:
+            base = json.load(f)
+    else:
+        fps, frames = torch_cpu_baseline()
+        base = {"torch_cpu_frames_per_sec": fps, "frames": frames}
+        with open(CACHE, "w") as f:
+            json.dump(base, f, indent=2)
+
+    fps, frames, platform = jax_tpu_run()
+    print(json.dumps({
+        "metric": "batch1_synthesis_mel_frames_per_sec",
+        "value": round(fps, 1),
+        "unit": "frames/s",
+        "vs_baseline": round(fps / base["torch_cpu_frames_per_sec"], 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,92 @@
+"""Batch converter: utterance features -> static-bucketed Batch pytree.
+
+The reference converter (/root/reference/tts.py:215-306) pads to the exact
+per-batch max and slices mels per phoneme in Python.  XLA recompiles per
+shape, so here every axis is rounded up to a bucket (Tmax->x8, Lmax->x64,
+segments->x64) — the compile count is O(#buckets), and the per-phoneme work
+is an int32 index plan (ops/regroup.build_plan) consumed by device gathers.
+
+The batch dimension is padded to a fixed size with empty utterances
+(ilens=0) so the jitted train step compiles for exactly one B.
+"""
+
+import math
+from typing import List, Optional
+
+import numpy as np
+
+from fcl_taco2_tpu.data.manifest import Utterance, load_features
+from fcl_taco2_tpu.models.taco2_sa import Batch
+from fcl_taco2_tpu.ops.regroup import build_plan
+
+
+def _round_up(x, mult):
+    return int(math.ceil(max(x, 1) / mult) * mult)
+
+
+class BatchConverter:
+    """Callable turning a list of Utterances into a Batch of numpy arrays."""
+
+    def __init__(self, max_dur=50, batch_size: Optional[int] = None,
+                 tok_bucket=8, frame_bucket=64, seg_bucket=64,
+                 odim=80, cache=None):
+        self.max_dur = max_dur
+        self.batch_size = batch_size
+        self.tok_bucket = tok_bucket
+        self.frame_bucket = frame_bucket
+        self.seg_bucket = seg_bucket
+        self.odim = odim
+        self.cache = cache  # optional dict uttid -> features
+
+    def _features(self, utt: Utterance):
+        if self.cache is not None:
+            if utt.uttid not in self.cache:
+                self.cache[utt.uttid] = load_features(utt)
+            return self.cache[utt.uttid]
+        return load_features(utt)
+
+    def __call__(self, utts: List[Utterance]) -> Batch:
+        feats = [self._features(u) for u in utts]
+        n = len(utts)
+        B = self.batch_size or n
+        if n > B:
+            raise ValueError(f"batch of {n} exceeds configured size {B}")
+
+        ilens = np.zeros(B, np.int32)
+        olens = np.zeros(B, np.int32)
+        for i, (u, (mel, dur, f0, en)) in enumerate(zip(utts, feats)):
+            ilens[i] = u.n_tokens
+            olens[i] = mel.shape[0]
+        Tmax = _round_up(ilens.max(), self.tok_bucket)
+        Lmax = _round_up(olens.max(), self.frame_bucket)
+
+        tokens = np.zeros((B, Tmax), np.int32)
+        durations = np.zeros((B, Tmax), np.int32)
+        mel_arr = np.zeros((B, Lmax, self.odim), np.float32)
+        f0_arr = np.zeros((B, Tmax, 1), np.float32)
+        en_arr = np.zeros((B, Tmax, 1), np.float32)
+        for i, (u, (mel, dur, f0, en)) in enumerate(zip(utts, feats)):
+            T, L = u.n_tokens, mel.shape[0]
+            tokens[i, :T] = u.tokenids
+            # duration fix-up is preprocessing's job (preprocess.py:54);
+            # enforce consistency here
+            if int(dur.sum()) != L:
+                raise ValueError(
+                    f"{u.uttid}: durations sum {int(dur.sum())} != mel "
+                    f"frames {L}")
+            durations[i, :T] = dur
+            mel_arr[i, :L] = mel
+            f0_arr[i, :T] = f0
+            en_arr[i, :T] = en
+
+        n_seg = int((durations > 0).sum())
+        plan = build_plan(durations, olens, self.max_dur,
+                          _round_up(n_seg, self.seg_bucket), Lmax)
+        return Batch(
+            tokens=tokens, ilens=ilens, mel=mel_arr, olens=olens,
+            durations=durations, f0=f0_arr, energy=en_arr,
+            seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
+            seg_start=plan.seg_start, frame_mask=plan.frame_mask,
+            position=plan.position, utt_gather=plan.utt_gather,
+            utt_mask=plan.utt_mask,
+        )

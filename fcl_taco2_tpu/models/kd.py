@@ -1,0 +1,179 @@
+"""Knowledge distillation: FCL-taco2-T teacher -> FCL-taco2-S student.
+
+Reference:
+- teacher KD wrapper returns detached knowledge instead of loss
+  (/root/reference/nets/knowledge_distillation/e2e_tts_tacotron2_sa_kd_teacher.py:521-608)
+- student adds per-layer linear projections to teacher dims
+  (encoder_sa_kd.py:110-122, decoder_sa_kd.py:478-490, pemb/eemb at
+  …_kd_student.py:602-603) and 4 toggleable distillation losses
+  (…_kd_student.py:759-801):
+    1. output: L1+MSE student-vs-teacher mel, before+after postnet
+    2. encoder: MSE over [embed, conv0, conv1, conv2, blstm]
+    3. decoder: MSE over [prenet, lstm0, lstm1, post0..post4]
+    4. prosody: MSE over [d_outs, p_outs, e_outs, p_embs, e_embs]
+
+TPU-first: teacher and student run in ONE jitted step; the teacher is under
+stop_gradient (no backward, no detach bookkeeping), and both forwards share
+the batch's regroup plan.  Projections are applied to captured
+pre-projection activations — same math as projecting inside the modules
+(linear commutes with the gather-based regrouping).
+"""
+
+from typing import Any, Dict, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import random
+
+from fcl_taco2_tpu.models.config import ModelConfig
+from fcl_taco2_tpu.models.taco2_sa import Batch, Tacotron2SA
+from fcl_taco2_tpu.ops.masking import (lengths_to_non_pad_mask, masked_l1,
+                                       masked_mse)
+from fcl_taco2_tpu.utils import initializers as init
+
+
+def _proj_init(key, d_in, d_out):
+    return {"w": init.linear_weight(key, (d_in, d_out))}
+
+
+def _proj(p, x):
+    return x @ p["w"]
+
+
+class KDStudent:
+    """Student model + projections + KD loss assembly."""
+
+    def __init__(self, student_cfg: ModelConfig, teacher_cfg: ModelConfig,
+                 share_proj=True, distill_output=True, distill_encoder=True,
+                 distill_decoder=True, distill_prosody=True):
+        self.student = Tacotron2SA(student_cfg)
+        self.teacher = Tacotron2SA(teacher_cfg)
+        self.scfg = student_cfg
+        self.tcfg = teacher_cfg
+        self.share_proj = share_proj
+        self.distill_output = distill_output
+        self.distill_encoder = distill_encoder
+        self.distill_decoder = distill_decoder
+        self.distill_prosody = distill_prosody
+
+    # ---------------- init ----------------
+
+    def init(self, key):
+        k_student, k_proj = random.split(key)
+        params, state = self.student.init(k_student)
+        s, t = self.scfg, self.tcfg
+        ks = random.split(k_proj, 12)
+        n_convs = 1 if self.share_proj else s.econv_layers
+        n_lstm = 1 if self.share_proj else 2
+        n_post = 1 if self.share_proj else s.postnet_layers - 1
+        proj = {
+            "embed": _proj_init(ks[0], s.embed_dim, t.embed_dim),
+            "convs": [_proj_init(ks[1 + i], s.econv_chans, t.econv_chans)
+                      for i in range(n_convs)],
+            "blstm": _proj_init(ks[4], s.eunits, t.eunits),
+            "prenet": _proj_init(ks[5], s.prenet_units, t.prenet_units),
+            "lstm": [_proj_init(ks[6 + i], s.dunits, t.dunits)
+                     for i in range(n_lstm)],
+            "post": [_proj_init(ks[8 + i], s.postnet_chans, t.postnet_chans)
+                     for i in range(n_post)],
+            "pemb": _proj_init(ks[10], s.eunits, t.eunits),
+            "eemb": _proj_init(ks[11], s.eunits, t.eunits),
+        }
+        params["kd_proj"] = proj
+        return params, state
+
+    # ---------------- knowledge loss helpers ----------------
+
+    @staticmethod
+    def _knowledge_mse(students, teachers, mask):
+        """Sum of masked-mean MSEs over tensor pairs
+        (Knowledge_loss, …_kd_student.py:156-179)."""
+        total = 0.0
+        for s_item, t_item in zip(students, teachers):
+            total = total + masked_mse(s_item, t_item, mask)
+        return total
+
+    def _pick(self, plist, i):
+        return plist[0] if self.share_proj else plist[i]
+
+    # ---------------- loss ----------------
+
+    def loss_fn(self, params, state, teacher_params, teacher_state,
+                batch: Batch, rng, train=True):
+        """Student base losses + distillation losses.
+
+        teacher params/state are NOT differentiated (frozen teacher,
+        tts_distill.py:396-398); the teacher forward runs in train mode like
+        the reference (the KD teacher module is never .eval()'ed).
+        """
+        k_teacher, k_student = random.split(rng)
+        _, (_, _, t_know) = self.teacher.loss_fn(
+            teacher_params, teacher_state, batch, k_teacher, train=train,
+            capture_kd=True)
+        t_know = jax.lax.stop_gradient(t_know)
+
+        loss, (report, new_state, s_know) = self.student.loss_fn(
+            {k: v for k, v in params.items() if k != "kd_proj"}, state,
+            batch, k_student, train=train, capture_kd=True)
+
+        proj = params["kd_proj"]
+        B, Tmax = batch.tokens.shape
+        Lmax = batch.mel.shape[1]
+        in_mask = lengths_to_non_pad_mask(batch.ilens, Tmax)[..., None]
+        out_mask = lengths_to_non_pad_mask(batch.olens, Lmax)[..., None]
+
+        if self.distill_output:
+            out_l1 = masked_l1(s_know["after_outs"], t_know["after_outs"],
+                               out_mask) \
+                + masked_l1(s_know["before_outs"], t_know["before_outs"],
+                            out_mask)
+            out_mse = masked_mse(s_know["after_outs"], t_know["after_outs"],
+                                 out_mask) \
+                + masked_mse(s_know["before_outs"], t_know["before_outs"],
+                             out_mask)
+            loss = loss + out_l1 + out_mse
+            report["output_l1_loss"] = out_l1
+            report["output_mse_loss"] = out_mse
+
+        if self.distill_encoder:
+            s_embed, s_c0, s_c1, s_c2, s_blstm = s_know["encoder"]
+            s_items = [
+                _proj(proj["embed"], s_embed),
+                _proj(self._pick(proj["convs"], 0), s_c0),
+                _proj(self._pick(proj["convs"], 1), s_c1),
+                _proj(self._pick(proj["convs"], 2), s_c2),
+                _proj(proj["blstm"], s_blstm),
+            ]
+            enc_loss = self._knowledge_mse(s_items, t_know["encoder"],
+                                           in_mask)
+            loss = loss + enc_loss
+            report["encoder_loss"] = enc_loss
+
+        if self.distill_decoder:
+            s_pre, s_l0, s_l1_, *s_post = s_know["decoder"]
+            s_items = [
+                _proj(proj["prenet"], s_pre),
+                _proj(self._pick(proj["lstm"], 0), s_l0),
+                _proj(self._pick(proj["lstm"], 1), s_l1_),
+            ]
+            # postnet convs 0..n-2 projected; final (odim) layer compared
+            # directly (decoder_sa_kd.py:675-691)
+            for i, sp in enumerate(s_post[:-1]):
+                s_items.append(_proj(self._pick(proj["post"], i), sp))
+            s_items.append(s_post[-1])
+            dec_loss = self._knowledge_mse(s_items, t_know["decoder"],
+                                           out_mask)
+            loss = loss + dec_loss
+            report["decoder_loss"] = dec_loss
+
+        if self.distill_prosody:
+            s_d, s_p, s_e, s_pe, s_ee = s_know["prosody"]
+            s_items = [s_d, s_p, s_e, _proj(proj["pemb"], s_pe),
+                       _proj(proj["eemb"], s_ee)]
+            pro_loss = self._knowledge_mse(s_items, t_know["prosody"],
+                                           in_mask)
+            loss = loss + pro_loss
+            report["prosody_loss"] = pro_loss
+
+        report["loss"] = loss
+        return loss, (report, new_state, None)

@@ -1,0 +1,93 @@
+"""Checkpointing: one format for periodic / best / resume / KD-teacher-import.
+
+The reference keeps three overlapping mechanisms (SURVEY.md §5.4): chainer
+torch_snapshot per epoch, best-loss snapshot_object, and a manual amp
+checkpoint that KD *requires* (tts_distill.py:370-375).  Here a single
+msgpack file carries params + model state + optimizer state + step + epoch,
+with the resolved model config as a sidecar json (the reference's
+model.json, tts.py:341-348).
+"""
+
+import dataclasses
+import json
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+from fcl_taco2_tpu.models.config import ModelConfig
+from fcl_taco2_tpu.train.state import TrainState
+
+
+def save_model_json(exp_dir, cfg: ModelConfig, extra: Optional[dict] = None):
+    os.makedirs(exp_dir, exist_ok=True)
+    payload = {"model_config": dataclasses.asdict(cfg)}
+    if extra:
+        payload.update(extra)
+    with open(os.path.join(exp_dir, "model.json"), "w") as f:
+        json.dump(payload, f, indent=2, sort_keys=True)
+
+
+def load_model_json(exp_dir):
+    with open(os.path.join(exp_dir, "model.json")) as f:
+        payload = json.load(f)
+    return ModelConfig(**payload["model_config"]), payload
+
+
+def _to_host(tree):
+    return jax.tree_util.tree_map(np.asarray, tree)
+
+
+def save_checkpoint(path, train_state: TrainState, epoch: int = 0):
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    # to_state_dict normalizes lists / optax NamedTuples into plain
+    # string-keyed dicts so the msgpack roundtrip matches from_state_dict
+    payload = {
+        "params": serialization.to_state_dict(_to_host(train_state.params)),
+        "model_state": serialization.to_state_dict(
+            _to_host(train_state.model_state)),
+        "opt_state": serialization.to_state_dict(
+            _to_host(train_state.opt_state)),
+        "step": int(train_state.step),
+        "epoch": int(epoch),
+    }
+    blob = serialization.msgpack_serialize(payload)
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, path)  # atomic: a crash never leaves a torn snapshot
+
+
+def restore_checkpoint(path, template: Optional[TrainState] = None):
+    """Returns (TrainState, epoch). With a template, leaves are restored to
+    the template's treedef (shape-checked); without, raw nested dicts."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    epoch = int(payload.get("epoch", 0))
+    if template is not None:
+        restored = TrainState(
+            params=serialization.from_state_dict(template.params,
+                                                 payload["params"]),
+            model_state=serialization.from_state_dict(template.model_state,
+                                                      payload["model_state"]),
+            opt_state=serialization.from_state_dict(template.opt_state,
+                                                    payload["opt_state"]),
+            step=payload["step"],
+        )
+        return restored, epoch
+    return payload, epoch
+
+
+def load_params_only(path, params_template, state_template=None):
+    """KD teacher import path (tts_distill.py:370-375 analogue)."""
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    params = serialization.from_state_dict(params_template,
+                                           payload["params"])
+    if state_template is not None:
+        mstate = serialization.from_state_dict(state_template,
+                                               payload["model_state"])
+        return params, mstate
+    return params

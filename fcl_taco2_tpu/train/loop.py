@@ -1,0 +1,172 @@
+"""Training orchestration: epochs, evaluation, checkpoints, early stop.
+
+Replaces the chainer Trainer + extensions wiring
+(/root/reference/tts.py:309-602): batchset planning, loaders, per-epoch
+validation, per-epoch snapshot + best-model snapshot, plots/log, early
+stopping on validation loss, sortagrad, resume.
+"""
+
+import dataclasses
+import os
+from typing import Optional
+
+import jax
+import numpy as np
+
+from fcl_taco2_tpu.data.batchfy import make_batchset
+from fcl_taco2_tpu.data.converter import BatchConverter
+from fcl_taco2_tpu.data.loader import PrefetchLoader
+from fcl_taco2_tpu.models.taco2_sa import Tacotron2SA
+from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
+from fcl_taco2_tpu.train.checkpoint import (restore_checkpoint,
+                                            save_checkpoint, save_model_json)
+from fcl_taco2_tpu.train.optim import build_optimizer
+from fcl_taco2_tpu.train.reporter import Reporter
+from fcl_taco2_tpu.train.state import TrainState
+from fcl_taco2_tpu.train.step import make_eval_step, make_train_step
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Training knobs; names mirror the reference CLI
+    (tts_train.py:22-372)."""
+    exp_dir: str = "exp/run"
+    epochs: int = 100
+    batch_size: int = 16
+    sort_key: str = "shuffle"
+    maxlen_in: int = 150
+    maxlen_out: int = 400
+    batch_count: str = "auto"
+    batch_bins: int = 0
+    batch_frames_in: int = 0
+    batch_frames_out: int = 0
+    batch_frames_inout: int = 0
+    minibatches: int = 0          # >0: truncate batchset for smoke runs
+    opt: str = "adam"
+    lr: float = 1e-3
+    eps: float = 1e-6
+    weight_decay: float = 0.0
+    grad_clip: float = 1.0
+    accum_grad: int = 1
+    patience: int = 0             # 0 = no early stop
+    eval_interval_epochs: int = 1
+    save_interval_epochs: int = 1
+    sortagrad: int = 0
+    seed: int = 1
+    n_devices: Optional[int] = None
+    resume: Optional[str] = None
+
+
+class Trainer:
+    def __init__(self, model: Tacotron2SA, tcfg: TrainConfig, train_utts,
+                 val_utts, mesh=None, cache_features=True):
+        self.model = model
+        self.tcfg = tcfg
+        self.mesh = mesh or make_mesh(tcfg.n_devices)
+        n_data = self.mesh.devices.size
+        if tcfg.batch_size % n_data:
+            raise ValueError(
+                f"batch_size {tcfg.batch_size} not divisible by data-"
+                f"parallel degree {n_data}")
+        self.train_utts = train_utts
+        self.val_utts = val_utts
+        self.converter = BatchConverter(
+            max_dur=model.cfg.max_dur, batch_size=tcfg.batch_size,
+            seg_bucket=max(64, n_data * 8), odim=model.cfg.odim,
+            cache={} if cache_features else None)
+        self.tx = build_optimizer(
+            name=tcfg.opt, lr=tcfg.lr, eps=tcfg.eps,
+            weight_decay=tcfg.weight_decay, grad_clip=tcfg.grad_clip,
+            accum_grad=tcfg.accum_grad,
+            noam_model_size=model.cfg.embed_dim)
+        self.train_step = make_train_step(model, self.tx, self.mesh)
+        self.eval_step = make_eval_step(model, self.mesh)
+        self.reporter = Reporter(tcfg.exp_dir)
+        save_model_json(tcfg.exp_dir, model.cfg,
+                        extra={"train_config": dataclasses.asdict(tcfg)})
+
+    # -------------------------------------------------------------
+
+    def init_state(self, rng) -> TrainState:
+        # jitted init: one compiled program instead of hundreds of tiny
+        # PRNG dispatches (slow over remote-device links)
+        params, mstate = jax.jit(self.model.init)(rng)
+        return TrainState(params, mstate, self.tx.init(params),
+                          np.int32(0))
+
+    def _epoch_batches(self, epoch):
+        t = self.tcfg
+        shortest_first = 0 < t.sortagrad and epoch < t.sortagrad \
+            or t.sortagrad == -1
+        return make_batchset(
+            self.train_utts, batch_size=t.batch_size, count=t.batch_count,
+            sort_key=("input" if shortest_first else t.sort_key),
+            max_length_in=t.maxlen_in, max_length_out=t.maxlen_out,
+            batch_bins=t.batch_bins, batch_frames_in=t.batch_frames_in,
+            batch_frames_out=t.batch_frames_out,
+            batch_frames_inout=t.batch_frames_inout,
+            min_batch_size=self.mesh.devices.size,
+            shortest_first=shortest_first,
+            num_batches=t.minibatches, seed=t.seed + epoch,
+            odim=self.model.cfg.odim)
+
+    def _loader(self, batches):
+        return PrefetchLoader(batches, self.converter,
+                              lambda b: shard_batch(self.mesh, b))
+
+    def evaluate(self, ts: TrainState, rng):
+        batches = make_batchset(
+            self.val_utts, batch_size=self.tcfg.batch_size,
+            sort_key="shuffle", min_batch_size=self.mesh.devices.size,
+            seed=0, odim=self.model.cfg.odim)
+        for batch in self._loader(batches):
+            rng, sub = jax.random.split(rng)
+            report = self.eval_step(ts.params, ts.model_state, batch, sub)
+            self.reporter.report(
+                {k: float(v) for k, v in report.items()},
+                prefix="validation/main")
+        return rng
+
+    def run(self, rng=None):
+        t = self.tcfg
+        rng = rng if rng is not None else jax.random.PRNGKey(t.seed)
+        rng, init_rng = jax.random.split(rng)
+        ts = self.init_state(init_rng)
+        start_epoch = 0
+        if t.resume:
+            ts, start_epoch = restore_checkpoint(t.resume, ts)
+            print(f"resumed from {t.resume} at epoch {start_epoch}")
+
+        best_val = float("inf")
+        bad_epochs = 0
+        for epoch in range(start_epoch, t.epochs):
+            for batch in self._loader(self._epoch_batches(epoch)):
+                rng, sub = jax.random.split(rng)
+                ts, report = self.train_step(ts, batch, sub)
+                self.reporter.report(
+                    {k: float(v) for k, v in report.items()}, prefix="main")
+            if (epoch + 1) % t.eval_interval_epochs == 0:
+                rng = self.evaluate(ts, rng)
+            entry = self.reporter.summarize(epoch + 1, int(ts.step))
+            self.reporter.print_entry(
+                entry, keys=["main/loss", "validation/main/loss"])
+
+            if (epoch + 1) % t.save_interval_epochs == 0:
+                save_checkpoint(os.path.join(
+                    t.exp_dir, f"snapshot.ep.{epoch + 1}"), ts, epoch + 1)
+            val = entry.get("validation/main/loss")
+            if val is not None:
+                if val < best_val:
+                    best_val = val
+                    bad_epochs = 0
+                    save_checkpoint(os.path.join(t.exp_dir,
+                                                 "model.loss.best"), ts,
+                                    epoch + 1)
+                else:
+                    bad_epochs += 1
+                if t.patience > 0 and bad_epochs >= t.patience:
+                    print(f"early stop at epoch {epoch + 1} "
+                          f"(patience {t.patience})")
+                    break
+        self.reporter.plot()
+        return ts

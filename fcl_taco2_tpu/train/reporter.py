@@ -1,0 +1,76 @@
+"""Metrics reporting: per-iteration scalar accumulation -> epoch summaries,
+jsonl log, console table, optional PNG plots.
+
+Replaces the chainer reporter + LogReport/PlotReport/PrintReport wiring
+(/root/reference/tts.py:565-587, e2e_tts_tacotron2_sa.py:605-620).
+"""
+
+import json
+import os
+import time
+from collections import defaultdict
+
+
+class Reporter:
+    def __init__(self, exp_dir, log_name="log.jsonl"):
+        self.exp_dir = exp_dir
+        os.makedirs(exp_dir, exist_ok=True)
+        self.log_path = os.path.join(exp_dir, log_name)
+        self._sums = defaultdict(float)
+        self._counts = defaultdict(int)
+        self.history = []
+        self._t0 = time.time()
+
+    def report(self, scalars: dict, prefix="main"):
+        for k, v in scalars.items():
+            key = f"{prefix}/{k}"
+            self._sums[key] += float(v)
+            self._counts[key] += 1
+
+    def summarize(self, epoch, step, extra=None):
+        entry = {"epoch": epoch, "step": step,
+                 "elapsed_sec": round(time.time() - self._t0, 2)}
+        for k in sorted(self._sums):
+            entry[k] = self._sums[k] / max(self._counts[k], 1)
+        if extra:
+            entry.update(extra)
+        self._sums.clear()
+        self._counts.clear()
+        self.history.append(entry)
+        with open(self.log_path, "a") as f:
+            f.write(json.dumps(entry) + "\n")
+        return entry
+
+    def print_entry(self, entry, keys=None):
+        keys = keys or [k for k in entry if "/" in k]
+        parts = [f"epoch {entry['epoch']:>3} step {entry['step']:>7}"]
+        parts += [f"{k.split('/', 1)[1]}={entry[k]:.4f}"
+                  for k in keys if k in entry]
+        print("  ".join(parts), flush=True)
+
+    def plot(self, keys=None):
+        """Per-key PNG curves (reference PlotReport, tts.py:565-581).
+        Matplotlib is optional; silently skipped if unavailable."""
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+        except Exception:
+            return
+        if not self.history:
+            return
+        all_keys = keys or sorted(
+            {k for e in self.history for k in e if "/" in k})
+        for key in all_keys:
+            xs = [e["epoch"] for e in self.history if key in e]
+            ys = [e[key] for e in self.history if key in e]
+            if not xs:
+                continue
+            plt.figure(figsize=(6, 4))
+            plt.plot(xs, ys)
+            plt.xlabel("epoch")
+            plt.ylabel(key)
+            plt.grid(True)
+            fname = key.replace("/", "_") + ".png"
+            plt.savefig(os.path.join(self.exp_dir, fname))
+            plt.close()

@@ -1,0 +1,61 @@
+"""Jitted train / eval steps with data-parallel shardings.
+
+Replaces the reference CustomUpdater/CustomEvaluator
+(/root/reference/tts.py:111-199, :53-108): one jitted, donated-buffer step
+doing forward + backward + clip + NaN-guard + update; the gradient
+all-reduce is compiled in by XLA from the sharding layout (parallel/mesh.py).
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from fcl_taco2_tpu.parallel.mesh import (batch_shardings, replicated)
+from fcl_taco2_tpu.train.state import TrainState
+
+
+def make_train_step(model, tx, mesh=None, donate=True):
+    """Returns step(train_state, batch, rng) -> (train_state, report)."""
+
+    def step(ts: TrainState, batch, rng):
+        def loss_of(params):
+            loss, (report, new_state, _) = model.loss_fn(
+                params, ts.model_state, batch, rng, train=True)
+            return loss, (report, new_state)
+
+        (loss, (report, new_state)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(ts.params)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, ts.params,
+                                        updates)
+        report = dict(report)
+        report["grad_norm"] = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g)), grads, 0.0) ** 0.5
+        return TrainState(params, new_state, opt_state, ts.step + 1), report
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    bsh = batch_shardings(mesh)
+    rep = replicated(mesh)
+    return jax.jit(
+        step,
+        in_shardings=(None, bsh, rep),
+        out_shardings=None,
+        donate_argnums=(0,) if donate else (),
+    )
+
+
+def make_eval_step(model, mesh=None):
+    """Eval step: loss/report only, model state untouched (tts.py:71-108)."""
+
+    def step(params, model_state, batch, rng):
+        _, (report, _, _) = model.loss_fn(params, model_state, batch, rng,
+                                          train=False)
+        return report
+
+    if mesh is None:
+        return jax.jit(step)
+    bsh = batch_shardings(mesh)
+    rep = replicated(mesh)
+    return jax.jit(step, in_shardings=(None, None, bsh, rep))

@@ -1,0 +1,54 @@
+"""Data-parallel equivalence: n-device step == 1-device step.
+
+SURVEY.md §4 implication: pjit data parallel must be semantics-preserving.
+Dropout/zoneout are disabled so the only difference is the sharding layout.
+"""
+
+import numpy as np
+import jax
+
+from fcl_taco2_tpu.models import Tacotron2SA
+from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
+from fcl_taco2_tpu.train.optim import build_optimizer
+from fcl_taco2_tpu.train.state import TrainState
+from fcl_taco2_tpu.train.step import make_train_step
+
+from helpers import synthetic_batch, tiny_config
+
+
+def _run_steps(mesh, n_steps=3):
+    cfg = tiny_config(dropout_rate=0.0, zoneout_rate=0.0,
+                      pitch_predictor_dropout_rate=0.0,
+                      energy_predictor_dropout_rate=0.0,
+                      pitch_embed_dropout_rate=0.0,
+                      energy_embed_dropout_rate=0.0,
+                      duration_predictor_dropout_rate=0.0)
+    model = Tacotron2SA(cfg)
+    params, mstate = model.init(jax.random.PRNGKey(0))
+    tx = build_optimizer(lr=1e-3, grad_clip=1.0)
+    ts = TrainState(params, mstate, tx.init(params), np.int32(0))
+    # B=8 divisible by any mesh size we use; n_seg bucket 32 divisible by 8
+    batch = synthetic_batch(cfg, B=8, Tmax=5, n_seg=32)
+    batch = shard_batch(mesh, batch)
+    step = make_train_step(model, tx, mesh, donate=False)
+    reports = []
+    for i in range(n_steps):
+        ts, report = step(ts, batch, jax.random.PRNGKey(100 + i))
+        reports.append({k: float(v) for k, v in report.items()})
+    return reports, ts
+
+
+def test_dp8_matches_single_device():
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    r1, ts1 = _run_steps(make_mesh(1))
+    r8, ts8 = _run_steps(make_mesh(8))
+    for a, b in zip(r1, r8):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=1e-5,
+                                       err_msg=k)
+    # final params identical within fp tolerance
+    flat1 = jax.tree_util.tree_leaves(ts1.params)
+    flat8 = jax.tree_util.tree_leaves(ts8.params)
+    for x, y in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4,
+                                   atol=1e-5)

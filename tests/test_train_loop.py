@@ -1,0 +1,81 @@
+"""End-to-end slice: train -> checkpoint -> resume -> eval on a tiny corpus
+(SURVEY.md §4: integration tests on a synthetic corpus through
+train→checkpoint→resume→decode)."""
+
+import json
+import os
+
+import numpy as np
+import jax
+
+from fcl_taco2_tpu.data import load_manifest
+from fcl_taco2_tpu.models import Tacotron2SA
+from fcl_taco2_tpu.parallel.mesh import make_mesh
+from fcl_taco2_tpu.train.checkpoint import (load_model_json,
+                                            restore_checkpoint)
+from fcl_taco2_tpu.train.loop import TrainConfig, Trainer
+
+from helpers import tiny_config
+from test_data_pipeline import write_corpus
+
+
+def test_train_checkpoint_resume(tmp_path):
+    corpus = write_corpus(str(tmp_path), n_utts=8)
+    utts = load_manifest(corpus)
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    exp = os.path.join(str(tmp_path), "exp")
+    tcfg = TrainConfig(exp_dir=exp, epochs=2, batch_size=4, seed=3,
+                       n_devices=1)
+    trainer = Trainer(model, tcfg, utts[:6], utts[6:],
+                      mesh=make_mesh(1))
+    ts = trainer.run()
+
+    # artifacts: model.json, per-epoch snapshots, best model, jsonl log
+    assert os.path.exists(os.path.join(exp, "model.json"))
+    assert os.path.exists(os.path.join(exp, "snapshot.ep.1"))
+    assert os.path.exists(os.path.join(exp, "snapshot.ep.2"))
+    assert os.path.exists(os.path.join(exp, "model.loss.best"))
+    with open(os.path.join(exp, "log.jsonl")) as f:
+        entries = [json.loads(l) for l in f]
+    assert len(entries) == 2
+    assert "main/loss" in entries[0]
+    assert "validation/main/loss" in entries[0]
+
+    cfg2, payload = load_model_json(exp)
+    assert cfg2 == cfg
+
+    # resume from epoch-1 snapshot and run one more epoch
+    tcfg2 = TrainConfig(exp_dir=exp + "2", epochs=2, batch_size=4, seed=3,
+                        resume=os.path.join(exp, "snapshot.ep.1"))
+    trainer2 = Trainer(model, tcfg2, utts[:6], utts[6:],
+                       mesh=make_mesh(1))
+    ts2 = trainer2.run()
+    assert int(ts2.step) == int(ts.step)  # same total steps after resume
+
+    # restored params load exactly
+    restored, epoch = restore_checkpoint(
+        os.path.join(exp, "snapshot.ep.2"), ts)
+    assert epoch == 2
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(ts.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_nan_guard_skips_bad_step():
+    """A non-finite gradient must not poison the params
+    (reference NaN guard, tts.py:175-178)."""
+    import jax.numpy as jnp
+    from fcl_taco2_tpu.train.optim import build_optimizer
+
+    tx = build_optimizer(lr=1.0, grad_clip=0.0)
+    params = {"w": jnp.ones(3)}
+    ost = tx.init(params)
+    bad = {"w": jnp.array([jnp.nan, 1.0, 1.0])}
+    updates, ost = tx.update(bad, ost, params)
+    new = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+    np.testing.assert_array_equal(np.asarray(new["w"]), np.ones(3))
+    good = {"w": jnp.ones(3)}
+    updates, ost = tx.update(good, ost, params)
+    assert float(jnp.abs(updates["w"]).sum()) > 0
