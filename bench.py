@@ -163,6 +163,7 @@ def jax_tpu_run():
     key = jax.random.PRNGKey(1)
     out = synth(params, state, tokens, ilens, durations, key)
     jax.block_until_ready(out["mel"])  # compile + warm
+    np.asarray(out["olens"])  # absorb one-time D2H link init (axon relay)
     t0 = time.perf_counter()
     for i in range(N_TIMED):
         out = synth(params, state, tokens, ilens, durations,

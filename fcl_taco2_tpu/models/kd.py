@@ -136,14 +136,11 @@ class KDStudent:
             report["output_mse_loss"] = out_mse
 
         if self.distill_encoder:
-            s_embed, s_c0, s_c1, s_c2, s_blstm = s_know["encoder"]
-            s_items = [
-                _proj(proj["embed"], s_embed),
-                _proj(self._pick(proj["convs"], 0), s_c0),
-                _proj(self._pick(proj["convs"], 1), s_c1),
-                _proj(self._pick(proj["convs"], 2), s_c2),
-                _proj(proj["blstm"], s_blstm),
-            ]
+            s_embed, *s_convs, s_blstm = s_know["encoder"]
+            s_items = [_proj(proj["embed"], s_embed)]
+            s_items += [_proj(self._pick(proj["convs"], i), sc)
+                        for i, sc in enumerate(s_convs)]
+            s_items.append(_proj(proj["blstm"], s_blstm))
             enc_loss = self._knowledge_mse(s_items, t_know["encoder"],
                                            in_mask)
             loss = loss + enc_loss

@@ -1,0 +1,63 @@
+"""KD training orchestration: Trainer specialization running teacher +
+student in one jitted step.
+
+Replaces /root/reference/tts_distill.py:312-623: builds the frozen teacher
+from its config + checkpoint (mandatory, tts_distill.py:370-375), then runs
+the standard loop with the distillation loss.
+"""
+
+import dataclasses
+
+import jax
+
+from fcl_taco2_tpu.models.kd import KDStudent
+from fcl_taco2_tpu.train.checkpoint import load_params_only, save_model_json
+from fcl_taco2_tpu.train.loop import Trainer
+from fcl_taco2_tpu.train.step import make_kd_eval_step, make_kd_train_step
+
+
+class _StudentShim:
+    """Adapter: Trainer expects .cfg and .init; KD owns the real loss."""
+
+    def __init__(self, kd: KDStudent):
+        self.cfg = kd.scfg
+        self._kd = kd
+
+    def init(self, key):
+        return self._kd.init(key)
+
+
+class KDTrainer(Trainer):
+    def __init__(self, kd: KDStudent, tcfg, train_utts, val_utts,
+                 teacher_checkpoint: str, mesh=None, cache_features=True):
+        self.kd = kd
+        super().__init__(_StudentShim(kd), tcfg, train_utts, val_utts,
+                         mesh=mesh, cache_features=cache_features)
+        # the teacher checkpoint is REQUIRED (tts_distill.py:370-375)
+        t_template, t_state_template = jax.eval_shape(
+            kd.teacher.init, jax.random.PRNGKey(0))
+        import numpy as np
+        t_template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), t_template)
+        t_state_template = jax.tree_util.tree_map(
+            lambda s: np.zeros(s.shape, s.dtype), t_state_template)
+        self.teacher_params, self.teacher_state = load_params_only(
+            teacher_checkpoint, t_template, t_state_template)
+        save_model_json(tcfg.exp_dir, kd.scfg, extra={
+            "train_config": dataclasses.asdict(tcfg),
+            "teacher_config": dataclasses.asdict(kd.tcfg),
+            "teacher_checkpoint": teacher_checkpoint,
+        })
+
+    def _build_steps(self):
+        self._kd_train_step = make_kd_train_step(self.kd, self.tx, self.mesh)
+        self._kd_eval_step = make_kd_eval_step(self.kd, self.mesh)
+
+    def _run_train_step(self, ts, batch, rng):
+        return self._kd_train_step(ts, self.teacher_params,
+                                   self.teacher_state, batch, rng)
+
+    def _run_eval_step(self, ts, batch, rng):
+        return self._kd_eval_step(ts.params, ts.model_state,
+                                  self.teacher_params, self.teacher_state,
+                                  batch, rng)

@@ -79,11 +79,23 @@ class Trainer:
             weight_decay=tcfg.weight_decay, grad_clip=tcfg.grad_clip,
             accum_grad=tcfg.accum_grad,
             noam_model_size=model.cfg.embed_dim)
-        self.train_step = make_train_step(model, self.tx, self.mesh)
-        self.eval_step = make_eval_step(model, self.mesh)
+        self._build_steps()
+        from fcl_taco2_tpu.utils.device import warmup_transfers
+        warmup_transfers()  # absorb the one-time D2H link init (axon relay)
         self.reporter = Reporter(tcfg.exp_dir)
         save_model_json(tcfg.exp_dir, model.cfg,
                         extra={"train_config": dataclasses.asdict(tcfg)})
+
+    def _build_steps(self):
+        """Create jitted train/eval steps; KD trainer overrides this."""
+        self.train_step = make_train_step(self.model, self.tx, self.mesh)
+        self.eval_step = make_eval_step(self.model, self.mesh)
+
+    def _run_train_step(self, ts, batch, rng):
+        return self.train_step(ts, batch, rng)
+
+    def _run_eval_step(self, ts, batch, rng):
+        return self.eval_step(ts.params, ts.model_state, batch, rng)
 
     # -------------------------------------------------------------
 
@@ -121,7 +133,7 @@ class Trainer:
             seed=0, odim=self.model.cfg.odim)
         for batch in self._loader(batches):
             rng, sub = jax.random.split(rng)
-            report = self.eval_step(ts.params, ts.model_state, batch, sub)
+            report = self._run_eval_step(ts, batch, sub)
             self.reporter.report(
                 {k: float(v) for k, v in report.items()},
                 prefix="validation/main")
@@ -142,7 +154,7 @@ class Trainer:
         for epoch in range(start_epoch, t.epochs):
             for batch in self._loader(self._epoch_batches(epoch)):
                 rng, sub = jax.random.split(rng)
-                ts, report = self.train_step(ts, batch, sub)
+                ts, report = self._run_train_step(ts, batch, sub)
                 self.reporter.report(
                     {k: float(v) for k, v in report.items()}, prefix="main")
             if (epoch + 1) % t.eval_interval_epochs == 0:

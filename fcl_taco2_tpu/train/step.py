@@ -46,6 +46,50 @@ def make_train_step(model, tx, mesh=None, donate=True):
     )
 
 
+def make_kd_train_step(kd, tx, mesh=None, donate=True):
+    """KD step: teacher forward (stop-grad) + student update in one jit.
+
+    Teacher params/state travel as jit ARGUMENTS (replicated), not closure
+    constants, so they are not baked into the executable."""
+
+    def step(ts: TrainState, t_params, t_state, batch, rng):
+        def loss_of(params):
+            loss, (report, new_state, _) = kd.loss_fn(
+                params, ts.model_state, t_params, t_state, batch, rng,
+                train=True)
+            return loss, (report, new_state)
+
+        (loss, (report, new_state)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(ts.params)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, ts.params,
+                                        updates)
+        report = dict(report)
+        report["grad_norm"] = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g)), grads, 0.0) ** 0.5
+        return TrainState(params, new_state, opt_state, ts.step + 1), report
+
+    if mesh is None:
+        return jax.jit(step, donate_argnums=(0,) if donate else ())
+    bsh = batch_shardings(mesh)
+    rep = replicated(mesh)
+    return jax.jit(step, in_shardings=(None, None, None, bsh, rep),
+                   donate_argnums=(0,) if donate else ())
+
+
+def make_kd_eval_step(kd, mesh=None):
+    def step(params, model_state, t_params, t_state, batch, rng):
+        _, (report, _, _) = kd.loss_fn(params, model_state, t_params,
+                                       t_state, batch, rng, train=False)
+        return report
+
+    if mesh is None:
+        return jax.jit(step)
+    bsh = batch_shardings(mesh)
+    rep = replicated(mesh)
+    return jax.jit(step, in_shardings=(None, None, None, None, bsh, rep))
+
+
 def make_eval_step(model, mesh=None):
     """Eval step: loss/report only, model state untouched (tts.py:71-108)."""
 
