@@ -1,0 +1,61 @@
+#!/usr/bin/env python3
+"""Evaluate decoded mels (feats.scp) against ground-truth mels (manifest).
+
+Computes MCD / L1 / RMSE between synthesized and reference log-mels —
+the objective half of the reference's external MOS/MCD evaluation
+(BASELINE.md: MCD parity target).
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--feats-scp", type=str, required=True)
+    p.add_argument("--json", type=str, required=True,
+                   help="manifest with ground-truth mel paths")
+    p.add_argument("--out", type=str, default=None,
+                   help="optional json report path")
+    args = p.parse_args(argv)
+
+    from fcl_taco2_tpu.data import load_manifest
+    from fcl_taco2_tpu.infer.ark import read_ark_matrix
+    from fcl_taco2_tpu.infer.metrics import (mel_cepstral_distortion,
+                                             mel_l1, mel_rmse)
+
+    utts = {u.uttid: u for u in load_manifest(args.json)}
+    rows = []
+    with open(args.feats_scp) as f:
+        for line in f.read().splitlines():
+            uttid, pointer = line.split()
+            if uttid not in utts:
+                continue
+            hyp = read_ark_matrix(pointer)
+            ref = np.load(utts[uttid].mel_path)
+            rows.append({
+                "uttid": uttid,
+                "mcd": mel_cepstral_distortion(hyp, ref),
+                "l1": mel_l1(hyp, ref),
+                "rmse": mel_rmse(hyp, ref),
+                "len_hyp": len(hyp), "len_ref": len(ref),
+            })
+    if not rows:
+        raise SystemExit("no overlapping utterances between scp and json")
+    summary = {k: float(np.mean([r[k] for r in rows]))
+               for k in ("mcd", "l1", "rmse")}
+    summary["n_utts"] = len(rows)
+    print(json.dumps(summary))
+    if args.out:
+        with open(args.out, "w") as f:
+            json.dump({"summary": summary, "utts": rows}, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

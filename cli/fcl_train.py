@@ -28,6 +28,8 @@ def get_parser():
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--minibatches", type=int, default=0)
     p.add_argument("--verbose", type=int, default=0)
+    p.add_argument("--profile-dir", type=str, default=None,
+                   help="capture an XLA trace of the first epoch")
     # model (names match e2e_tts_tacotron2_sa.py:138-287)
     p.add_argument("--embed-dim", type=int, default=512)
     p.add_argument("--elayers", type=int, default=1)
@@ -158,7 +160,8 @@ def train_config_from_args(args):
         eval_interval_epochs=args.eval_interval_epochs,
         save_interval_epochs=args.save_interval_epochs,
         sortagrad=args.sortagrad, seed=args.seed,
-        n_devices=args.n_devices, resume=args.resume)
+        n_devices=args.n_devices, resume=args.resume,
+        profile_dir=args.profile_dir)
 
 
 def main(argv=None):

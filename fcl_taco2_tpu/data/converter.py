@@ -38,6 +38,17 @@ class BatchConverter:
         self.odim = odim
         self.cache = cache  # optional dict uttid -> features
 
+    def _build_plan(self, durations, olens, n_seg_padded, max_olen):
+        """Prefer the native C++ plan builder (bit-exact vs numpy,
+        native/fclrt.cpp); fall back to ops/regroup.build_plan."""
+        from fcl_taco2_tpu.data.native import (build_plan_native,
+                                               native_available)
+        if native_available():
+            return build_plan_native(durations, olens, self.max_dur,
+                                     n_seg_padded, max_olen)
+        return build_plan(durations, olens, self.max_dur, n_seg_padded,
+                          max_olen)
+
     def _features(self, utt: Utterance):
         if self.cache is not None:
             if utt.uttid not in self.cache:
@@ -80,8 +91,8 @@ class BatchConverter:
             en_arr[i, :T] = en
 
         n_seg = int((durations > 0).sum())
-        plan = build_plan(durations, olens, self.max_dur,
-                          _round_up(n_seg, self.seg_bucket), Lmax)
+        plan = self._build_plan(durations, olens,
+                                _round_up(n_seg, self.seg_bucket), Lmax)
         return Batch(
             tokens=tokens, ilens=ilens, mel=mel_arr, olens=olens,
             durations=durations, f0=f0_arr, energy=en_arr,

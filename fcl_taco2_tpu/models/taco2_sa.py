@@ -192,7 +192,7 @@ class Tacotron2SA:
     def synthesize(self, params, state, tokens, ilens, rng,
                    frame_budget: int, n_seg: Optional[int] = None,
                    durations=None, f0=None, energy=None,
-                   d_factor: float = 1.0):
+                   d_factor: float = 1.0, decoder_backend: str = "auto"):
         """Batched device-only synthesis.
 
         Args:
@@ -269,9 +269,26 @@ class Tacotron2SA:
             0.0)
 
         enc_seg = gather_token_vectors(hs, seg_utt, seg_tok)
-        seg_out = decoder_inference(params["decoder"], state["decoder"], cfg,
-                                    enc_seg, flat_dur, position, frame_mask,
-                                    k_dec)
+        if decoder_backend == "auto":
+            from fcl_taco2_tpu.ops.decoder_pallas import fits_vmem
+            use_pallas = (jax.default_backend() == "tpu"
+                          and fits_vmem(cfg, D))
+        else:
+            use_pallas = decoder_backend == "pallas"
+        if use_pallas:
+            # fused Pallas AR loop: decoder weights stay resident in VMEM
+            # across all D steps (ops/decoder_pallas.py; 2-2.7x vs scan
+            # for the student model)
+            from fcl_taco2_tpu.ops.decoder_pallas import fused_ar_decode
+            seed = jax.random.randint(k_dec, (), 0, 2 ** 31 - 1)
+            seg_out = fused_ar_decode(
+                params["decoder"], enc_seg, position, seed,
+                zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate)
+            seg_out = seg_out * frame_mask[..., None].astype(seg_out.dtype)
+        else:
+            seg_out = decoder_inference(params["decoder"], state["decoder"],
+                                        cfg, enc_seg, flat_dur, position,
+                                        frame_mask, k_dec)
 
         # scatter phoneme frames into per-utterance timelines; frames past
         # the budget or past each phoneme's duration go to a drop slot

@@ -1,0 +1,197 @@
+"""Fused semi-autoregressive decoder loop as one Pallas TPU kernel.
+
+The AR hot loop (reference decoder_sa.py:591-617; our lax.scan in
+models/decoder.py) runs prenet -> 2x zoneout-LSTM -> feat_out per frame.
+Under XLA each scan step re-reads every weight matrix from HBM; for the
+student model (256-d) all decoder weights total only a few MB, so this
+kernel keeps them RESIDENT IN VMEM across all ``max_dur`` steps and grids
+over phoneme tiles — HBM traffic drops from O(D * weights) to
+O(weights + outputs).
+
+Step math parity (eval mode, as used at inference):
+    enc_gates   = enc @ Wx0_enc          (hoisted: enc is step-invariant)
+    prenet      = relu(relu(prev @ W1 + b1) dropout @ W2 + b2) dropout
+    gates0      = enc_gates + prenet @ Wx0_pre + pos_t * Wx0_pos + b0
+                  + h0 @ Wh0 + bh0
+    (i,f,g,o)   -> zoneout eval blend (rate*old + (1-rate)*new)
+    layer 1     likewise on h0
+    out         = h1 @ Wf_z + enc @ Wf_enc      (hoisted enc part)
+    prev        = out (autoregressive feedback)
+
+The always-on prenet dropout (decoder_sa.py:109-112) uses the on-core PRNG
+(pltpu.prng_*); pass dropout_rate=0.0 for deterministic parity testing.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE = 128  # phoneme rows per grid step (fp32 sublane-friendly)
+
+
+def _dropout_bits(shape, rate):
+    """Bernoulli keep mask from on-core PRNG; scale kept values."""
+    bits = pltpu.prng_random_bits(shape)  # uint32
+    threshold = jnp.uint32(int((1.0 - rate) * 0xFFFFFFFF))
+    return (bits < threshold).astype(jnp.float32) / (1.0 - rate)
+
+
+def _kernel(seed_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref, pre_w2_ref,
+            pre_b2_ref, wx0_pre_ref, wx0_pos_ref, bx0_ref, wh0_ref, bh0_ref,
+            wx1_ref, bx1_ref, wh1_ref, bh1_ref, wf_z_ref, wx0_enc_ref,
+            wf_enc_ref, out_ref, *, D, odim, dunits, zoneout, dropout):
+    if dropout > 0.0:  # TPU-only PRNG; skipped in deterministic mode
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    enc = enc_ref[:]  # (TILE, idim)
+    # hoisted step-invariant GEMMs
+    enc_gates = jnp.dot(enc, wx0_enc_ref[:],
+                        preferred_element_type=jnp.float32) + bx0_ref[:]
+    enc_out = jnp.dot(enc, wf_enc_ref[:],
+                      preferred_element_type=jnp.float32)
+
+    keep = 1.0 - zoneout
+
+    def lstm_half(gates, h, c):
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        # zoneout eval blend (decoder_sa.py:96)
+        return zoneout * h + keep * h_new, zoneout * c + keep * c_new
+
+    def step(t, carry):
+        prev, h0, c0, h1, c1 = carry
+        # prenet (always-on dropout)
+        p = jnp.maximum(
+            jnp.dot(prev, pre_w1_ref[:],
+                    preferred_element_type=jnp.float32) + pre_b1_ref[:], 0.0)
+        if dropout > 0.0:
+            p = p * _dropout_bits(p.shape, dropout)
+        p = jnp.maximum(
+            jnp.dot(p, pre_w2_ref[:],
+                    preferred_element_type=jnp.float32) + pre_b2_ref[:], 0.0)
+        if dropout > 0.0:
+            p = p * _dropout_bits(p.shape, dropout)
+
+        pos_t = pos_ref[t, :][:, None]  # (TILE, 1); position stored
+        # (D, TILE) so the dynamic step index hits the sublane dim
+        # (lane-dim dynamic slices are not Mosaic-addressable)
+        gates0 = (enc_gates
+                  + jnp.dot(p, wx0_pre_ref[:],
+                            preferred_element_type=jnp.float32)
+                  + pos_t * wx0_pos_ref[:]
+                  + jnp.dot(h0, wh0_ref[:],
+                            preferred_element_type=jnp.float32)
+                  + bh0_ref[:])
+        h0n, c0n = lstm_half(gates0, h0, c0)
+        gates1 = (jnp.dot(h0n, wx1_ref[:],
+                          preferred_element_type=jnp.float32) + bx1_ref[:]
+                  + jnp.dot(h1, wh1_ref[:],
+                            preferred_element_type=jnp.float32)
+                  + bh1_ref[:])
+        h1n, c1n = lstm_half(gates1, h1, c1)
+        out = jnp.dot(h1n, wf_z_ref[:],
+                      preferred_element_type=jnp.float32) + enc_out
+        out_ref[:, t, :] = out
+        return (out, h0n, c0n, h1n, c1n)
+
+    zeros = jnp.zeros((TILE, dunits), jnp.float32)
+    prev0 = jnp.zeros((TILE, odim), jnp.float32)
+    jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
+
+
+def vmem_bytes_estimate(cfg, D=None):
+    """Rough VMEM need: resident weights + per-tile activations/outputs."""
+    D = D or cfg.max_dur
+    H, idim, units, odim = cfg.dunits, cfg.dec_idim, cfg.prenet_units, \
+        cfg.odim
+    weights = (odim * units + units * units          # prenet
+               + (idim + units + 1) * 4 * H          # lstm0 wx split
+               + H * 4 * H                           # lstm0 wh
+               + H * 4 * H + H * 4 * H               # lstm1 wx + wh
+               + (H + idim) * odim)                  # feat_out
+    acts = TILE * (idim + D + D * odim + 4 * H + 2 * 4 * H + 2 * units)
+    return 4 * (weights + acts)
+
+
+def fits_vmem(cfg, D=None, budget=13 * 1024 * 1024):
+    """True when the fused kernel's weights + tile fit on-chip (the teacher
+    at 1024-d LSTMs does NOT fit; the student at 256-d does)."""
+    return vmem_bytes_estimate(cfg, D) <= budget
+
+
+@functools.partial(jax.jit, static_argnames=("zoneout", "dropout"))
+def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
+                    dropout=0.5):
+    """Run the whole AR loop in one Pallas kernel.
+
+    Args:
+        dec_params: decoder param pytree (models/decoder.decoder_init).
+        enc_seg: (P, idim) float32 per-segment conditioning vectors.
+        position: (P, D) float32 position ramps.
+        seed: int32 scalar for the prenet-dropout PRNG.
+    Returns:
+        (P, D, odim) float32 frames (valid frames selected by caller).
+    """
+    P, idim = enc_seg.shape
+    D = position.shape[1]
+    if P % TILE:
+        pad = TILE - P % TILE
+        enc_seg = jnp.pad(enc_seg, ((0, pad), (0, 0)))
+        position = jnp.pad(position, ((0, pad), (0, 0)))
+    Pp = enc_seg.shape[0]
+
+    pre = dec_params["prenet"]["layers"]
+    units = pre[0]["w"].shape[1]
+    odim = pre[0]["w"].shape[0]
+    wx0 = dec_params["lstm0"]["wx"]  # (idim + units + 1, 4H)
+    dunits = dec_params["lstm0"]["wh"].shape[0]
+    wx0_enc = wx0[:idim]
+    wx0_pre = wx0[idim:idim + units]
+    wx0_pos = wx0[idim + units:idim + units + 1]
+    wf = dec_params["feat_out"]["w"]  # (dunits + idim, odim), order (z, enc)
+    wf_z, wf_enc = wf[:dunits], wf[dunits:]
+
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    args = [
+        f32(enc_seg), f32(position).T,  # (D, TILE-padded P)
+        f32(pre[0]["w"]), f32(pre[0]["b"])[None, :],
+        f32(pre[1]["w"]), f32(pre[1]["b"])[None, :],
+        f32(wx0_pre), f32(wx0_pos),
+        f32(dec_params["lstm0"]["bx"])[None, :],
+        f32(dec_params["lstm0"]["wh"]),
+        f32(dec_params["lstm0"]["bh"])[None, :],
+        f32(dec_params["lstm1"]["wx"]),
+        f32(dec_params["lstm1"]["bx"])[None, :],
+        f32(dec_params["lstm1"]["wh"]),
+        f32(dec_params["lstm1"]["bh"])[None, :],
+        f32(wf_z), f32(wx0_enc), f32(wf_enc),
+    ]
+
+    grid = (Pp // TILE,)
+    tile_specs = [
+        pl.BlockSpec((TILE, enc_seg.shape[1]), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, TILE), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    weight_specs = [
+        pl.BlockSpec(a.shape, lambda i: (0,) * a.ndim,
+                     memory_space=pltpu.VMEM)
+        for a in args[2:]
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel, D=D, odim=odim, dunits=dunits,
+                          zoneout=float(zoneout), dropout=float(dropout)),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tile_specs
+        + weight_specs,
+        out_specs=pl.BlockSpec((TILE, D, odim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, D, odim), jnp.float32),
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *args)
+    return out[:P]

@@ -55,6 +55,15 @@ class TrainConfig:
     seed: int = 1
     n_devices: Optional[int] = None
     resume: Optional[str] = None
+    profile_dir: Optional[str] = None  # capture an XLA trace of epoch 0
+
+
+class _nullcontext:
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
 
 
 class Trainer:
@@ -149,17 +158,27 @@ class Trainer:
             ts, start_epoch = restore_checkpoint(t.resume, ts)
             print(f"resumed from {t.resume} at epoch {start_epoch}")
 
+        from fcl_taco2_tpu.train.profiler import StepTimer, trace
+
+        timer = StepTimer()
         best_val = float("inf")
         bad_epochs = 0
         for epoch in range(start_epoch, t.epochs):
-            for batch in self._loader(self._epoch_batches(epoch)):
-                rng, sub = jax.random.split(rng)
-                ts, report = self._run_train_step(ts, batch, sub)
-                self.reporter.report(
-                    {k: float(v) for k, v in report.items()}, prefix="main")
+            profile = (t.profile_dir is not None and epoch == start_epoch)
+            ctx = trace(t.profile_dir) if profile else _nullcontext()
+            with ctx:
+                for batch in self._loader(self._epoch_batches(epoch)):
+                    rng, sub = jax.random.split(rng)
+                    timer.tic()
+                    ts, report = self._run_train_step(ts, batch, sub)
+                    self.reporter.report(
+                        {k: float(v) for k, v in report.items()},
+                        prefix="main")
+                    timer.toc()
             if (epoch + 1) % t.eval_interval_epochs == 0:
                 rng = self.evaluate(ts, rng)
-            entry = self.reporter.summarize(epoch + 1, int(ts.step))
+            entry = self.reporter.summarize(epoch + 1, int(ts.step),
+                                            extra=timer.summary())
             self.reporter.print_entry(
                 entry, keys=["main/loss", "validation/main/loss"])
 

@@ -1,0 +1,65 @@
+"""Fused Pallas AR decoder vs the lax.scan reference path (interpret mode
+on CPU; the real-TPU benchmark lives in scripts/bench_pallas.py)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from fcl_taco2_tpu.models.decoder import decoder_inference, decoder_init
+
+from helpers import tiny_config
+
+
+def test_fused_matches_scan_no_dropout(monkeypatch):
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    # interpret mode so the kernel runs on CPU
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dropout_rate=0.0, max_dur=7)
+    params, state = decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    P, D = 5, cfg.max_dur
+    enc_seg = jnp.asarray(rng.normal(size=(P, cfg.eunits)).astype(
+        np.float32))
+    dur = np.array([3, 7, 1, 5, 2], np.int32)
+    frame_mask = jnp.asarray(np.arange(D)[None, :] < dur[:, None])
+    position = jnp.asarray(np.where(
+        np.asarray(frame_mask),
+        np.arange(D)[None, :] / np.maximum(dur[:, None], 1), 0.0
+    ).astype(np.float32))
+
+    want = decoder_inference(params, state, cfg, enc_seg,
+                             jnp.asarray(dur), position, frame_mask,
+                             jax.random.PRNGKey(1))
+    got = dp.fused_ar_decode(params, enc_seg, position, 0,
+                             zoneout=cfg.zoneout_rate, dropout=0.0)
+    got = got * np.asarray(frame_mask)[..., None]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+
+def test_fused_dropout_is_stochastic_but_bounded(monkeypatch):
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    if jax.devices()[0].platform != "tpu":
+        pytest.skip("pltpu PRNG has no CPU interpret path")
+
+    cfg = tiny_config(max_dur=5)
+    params, _ = decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    enc_seg = jnp.asarray(rng.normal(size=(4, cfg.eunits)).astype(
+        np.float32))
+    position = jnp.zeros((4, cfg.max_dur), jnp.float32)
+    a = dp.fused_ar_decode(params, enc_seg, position, 0, dropout=0.5)
+    b = dp.fused_ar_decode(params, enc_seg, position, 1, dropout=0.5)
+    assert np.isfinite(np.asarray(a)).all()
+    assert not np.allclose(np.asarray(a), np.asarray(b))  # different seeds

@@ -1,0 +1,37 @@
+"""Metrics + profiler smoke tests."""
+
+import numpy as np
+
+from fcl_taco2_tpu.infer.metrics import (mel_cepstral_distortion, mel_l1,
+                                         mel_rmse)
+from fcl_taco2_tpu.train.profiler import StepTimer
+
+
+def test_mcd_zero_for_identical_and_positive_otherwise():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=(40, 80)).astype(np.float32)
+    assert mel_cepstral_distortion(a, a) == 0.0
+    b = a + rng.normal(scale=0.1, size=a.shape).astype(np.float32)
+    mcd = mel_cepstral_distortion(a, b)
+    assert 0 < mcd < 50
+    # larger perturbation -> larger MCD
+    c = a + rng.normal(scale=0.5, size=a.shape).astype(np.float32)
+    assert mel_cepstral_distortion(a, c) > mcd
+
+
+def test_metrics_handle_length_mismatch():
+    rng = np.random.default_rng(1)
+    a = rng.normal(size=(40, 80))
+    b = np.concatenate([a, rng.normal(size=(5, 80))], 0)
+    assert mel_l1(a, b) == 0.0
+    assert mel_rmse(a, b) == 0.0
+
+
+def test_step_timer_summary():
+    t = StepTimer(window=10)
+    for _ in range(5):
+        t.tic()
+        t.toc()
+    s = t.summary()
+    assert set(s) == {"step_ms_p50", "step_ms_p90", "step_ms_max"}
+    assert all(v >= 0 for v in s.values())
