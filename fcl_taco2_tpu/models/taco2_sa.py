@@ -29,6 +29,17 @@ from fcl_taco2_tpu.ops.masking import (lengths_to_non_pad_mask,
 from fcl_taco2_tpu.ops.regroup import gather_segments, gather_token_vectors
 
 
+def _cast_floats(tree, dtype):
+    """Cast float leaves to the compute dtype (bf16 policy: params stay
+    fp32 in the optimizer; the cast inside the loss makes XLA run the
+    matmuls on the MXU in bf16 while grads transpose back to fp32)."""
+    def cast(x):
+        if hasattr(x, "dtype") and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return x
+    return jax.tree_util.tree_map(cast, tree)
+
+
 class Batch(NamedTuple):
     """One training batch, all static-bucketed shapes (converter output)."""
 
@@ -133,6 +144,13 @@ class Tacotron2SA:
         (l1 + mse + duration + pitch + energy, all masked means).
         """
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if dtype != jnp.float32:
+            params = _cast_floats(params, dtype)
+            batch = batch._replace(mel=batch.mel.astype(dtype),
+                                   f0=batch.f0.astype(dtype),
+                                   energy=batch.energy.astype(dtype),
+                                   position=batch.position.astype(dtype))
         rng, k_dec = random.split(rng)
         (hs, enc_state, enc_kd, pad_mask, d_outs, p_outs, e_outs, p_embs,
          e_embs) = self._encode_and_predict(params, state, batch, rng, train,
@@ -151,20 +169,25 @@ class Tacotron2SA:
             batch.position, batch.frame_mask, batch.utt_gather,
             batch.utt_mask, k_dec, train, capture_kd=capture_kd)
 
+        # losses always in fp32 (mixed-precision safe accumulation)
+        f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+        mel32 = f32(batch.mel)
         out_mask = batch.utt_mask[..., None]
-        l1 = masked_l1(after, batch.mel, out_mask) + \
-            masked_l1(before, batch.mel, out_mask)
-        mse = masked_mse(after, batch.mel, out_mask) + \
-            masked_mse(before, batch.mel, out_mask)
+        l1 = masked_l1(f32(after), mel32, out_mask) + \
+            masked_l1(f32(before), mel32, out_mask)
+        mse = masked_mse(f32(after), mel32, out_mask) + \
+            masked_mse(f32(before), mel32, out_mask)
         in_mask = ~pad_mask
-        dur = C.duration_loss(d_outs, batch.durations, in_mask,
+        dur = C.duration_loss(f32(d_outs), batch.durations, in_mask,
                               offset=cfg.duration_predictor_offset)
         loss = l1 + mse + dur
         report = {"l1_loss": l1, "mse_loss": mse, "dur_loss": dur}
 
         if cfg.use_fe_condition:
-            pitch = masked_mse(p_outs, batch.f0, in_mask[..., None])
-            energy = masked_mse(e_outs, batch.energy, in_mask[..., None])
+            pitch = masked_mse(f32(p_outs), f32(batch.f0),
+                               in_mask[..., None])
+            energy = masked_mse(f32(e_outs), f32(batch.energy),
+                                in_mask[..., None])
             loss = loss + pitch + energy  # prosody_weight 1.0 (:612-613)
             report["pitch_loss"] = pitch
             report["energy_loss"] = energy
@@ -212,6 +235,9 @@ class Tacotron2SA:
         host loops tts.py:665-671, decoder_sa.py:619-630).
         """
         cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if dtype != jnp.float32:
+            params = _cast_floats(params, dtype)
         B, Tmax = tokens.shape
         D = cfg.max_dur
         P = n_seg if n_seg is not None else B * Tmax
@@ -266,7 +292,7 @@ class Tacotron2SA:
             frame_mask,
             d_range.astype(jnp.float32)
             / jnp.maximum(flat_dur[:, None], 1).astype(jnp.float32),
-            0.0)
+            0.0).astype(dtype)
 
         enc_seg = gather_token_vectors(hs, seg_utt, seg_tok)
         if decoder_backend == "auto":
@@ -306,5 +332,5 @@ class Tacotron2SA:
                                         cfg, before, seq_mask=seq_mask)
         out_mask = seq_mask[..., None]
         after = after * out_mask.astype(after.dtype)
-        return {"mel": after, "olens": olens, "d_outs": d_outs,
-                "p_outs": p_outs, "e_outs": e_outs}
+        return {"mel": after.astype(jnp.float32), "olens": olens,
+                "d_outs": d_outs, "p_outs": p_outs, "e_outs": e_outs}

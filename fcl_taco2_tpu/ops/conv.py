@@ -49,26 +49,37 @@ def batch_norm(x, params: BatchNormParams, state: BatchNormState, *, train,
     """BatchNorm over all positions of (B, T, C) (torch BatchNorm1d parity).
 
     Returns (y, new_state). In eval mode new_state is state unchanged.
+    Statistics are always computed in fp32 (mixed-precision safe); the
+    output keeps the input dtype.
     """
+    in_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    scale = params.scale.astype(jnp.float32)
+    bias = params.bias.astype(jnp.float32)
     if train:
         n = x.shape[0] * x.shape[1]
-        mean = jnp.mean(x, axis=(0, 1))
-        var = jnp.mean(jnp.square(x - mean), axis=(0, 1))  # biased
-        y = (x - mean) * jax.lax.rsqrt(var + eps)
+        mean = jnp.mean(x32, axis=(0, 1))
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1))  # biased
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
         unbiased = var * (n / max(n - 1, 1))
         new_state = BatchNormState(
             mean=(1 - momentum) * state.mean + momentum * mean,
             var=(1 - momentum) * state.var + momentum * unbiased,
         )
     else:
-        y = (x - state.mean) * jax.lax.rsqrt(state.var + eps)
+        y = (x32 - state.mean) * jax.lax.rsqrt(state.var + eps)
         new_state = state
-    return y * params.scale + params.bias, new_state
+    return (y * scale + bias).astype(in_dtype), new_state
 
 
 def layer_norm(x, scale, bias, eps=1e-12):
     """LayerNorm over the last dim (espnet transformer LayerNorm parity,
-    used by the variance/duration predictors: variance_predictor.py:62)."""
-    mean = jnp.mean(x, axis=-1, keepdims=True)
-    var = jnp.mean(jnp.square(x - mean), axis=-1, keepdims=True)
-    return (x - mean) * jax.lax.rsqrt(var + eps) * scale + bias
+    used by the variance/duration predictors: variance_predictor.py:62).
+    fp32 statistics, output in the input dtype."""
+    in_dtype = x.dtype
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=-1, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=-1, keepdims=True)
+    y = (x32 - mean) * jax.lax.rsqrt(var + eps) \
+        * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    return y.astype(in_dtype)
