@@ -310,7 +310,8 @@ class Tacotron2SA:
             seg_out = fused_ar_decode(
                 params["decoder"], enc_seg, position, seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate)
-            seg_out = seg_out * frame_mask[..., None].astype(seg_out.dtype)
+            seg_out = seg_out.astype(dtype) \
+                * frame_mask[..., None].astype(dtype)
         else:
             seg_out = decoder_inference(params["decoder"], state["decoder"],
                                         cfg, enc_seg, flat_dur, position,

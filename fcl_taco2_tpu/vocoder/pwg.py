@@ -145,6 +145,42 @@ def pwg_generate(params, cfg: PWGConfig, mel, noise):
     return x[..., 0]
 
 
+def pwg_generate_chunked(params, cfg: PWGConfig, mel, noise,
+                         chunk_frames=128, context_frames=40):
+    """Memory-bounded vocoding: process mel in chunks with receptive-field
+    context margins, sequentially under lax.map.
+
+    Full-utterance PWG keeps ~30 layers of (T*hop, gate) activations alive
+    (OOM for long budgets); chunking caps live activations at
+    O(chunk + 2*context).  With context >= the receptive field the output
+    equals full-utterance vocoding (tests/test_pipeline.py).
+
+    mel (B, T, aux), noise (B, T*hop) -> (B, T*hop).
+    """
+    B, T, A = mel.shape
+    hop = cfg.hop
+    n_chunks = -(-T // chunk_frames)
+    Tp = n_chunks * chunk_frames
+    c = context_frames
+    mel_p = jnp.pad(mel, ((0, 0), (c, Tp - T + c), (0, 0)))
+    noise_p = jnp.pad(noise, ((0, 0), (c * hop, (Tp - T + c) * hop)))
+
+    starts = jnp.arange(n_chunks) * chunk_frames
+    width = chunk_frames + 2 * c
+
+    def one(start):
+        m = jax.lax.dynamic_slice(mel_p, (0, start, 0), (B, width, A))
+        n = jax.lax.dynamic_slice(noise_p, (0, start * hop),
+                                  (B, width * hop))
+        w = pwg_generate(params, cfg, m, n)
+        return jax.lax.dynamic_slice(w, (0, c * hop),
+                                     (B, chunk_frames * hop))
+
+    chunks = jax.lax.map(one, starts)  # (n_chunks, B, chunk*hop)
+    wav = jnp.swapaxes(chunks, 0, 1).reshape(B, Tp * hop)
+    return wav[:, :T * hop]
+
+
 # ----------------------------------------------------------------------
 # official checkpoint import
 # ----------------------------------------------------------------------
