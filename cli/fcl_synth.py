@@ -28,6 +28,9 @@ def get_parser():
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--d-factor", type=float, default=1.0,
                    help="duration multiplier (speaking-rate control)")
+    p.add_argument("--use-gt-durations", action="store_true",
+                   help="use corpus durations instead of the predictor "
+                        "(reference dur= override)")
     p.add_argument("--no-ark", action="store_true")
     return p
 
@@ -58,7 +61,8 @@ def main(argv=None):
     synth = Synthesizer(model, params, state, batch_size=args.batch_size)
     mean_fps = synth.synth_manifest(
         utts, args.out, write_ark=not args.no_ark,
-        rng=jax.random.PRNGKey(args.seed))
+        rng=jax.random.PRNGKey(args.seed),
+        use_gt_durations=args.use_gt_durations, d_factor=args.d_factor)
     print(f"decoded {len(utts)} utts, mean {mean_fps:.1f} frames/sec "
           f"-> {args.out}")
 

@@ -11,9 +11,11 @@ Per utterance the json carries:
 
 The loader below is the TTS io path of the reference's
 LoadInputsAndTargets(mode='tts', use_second_target + f0/energy unpack,
-io_utils_fcl.py:297-390) reduced to the npy filetype; kaldi ark/hdf5
-filetypes raise with a clear message (sound/hdf5 corpora should be converted
-with cli/fcl_preprocess.py).
+io_utils_fcl.py:297-390).  Supported filetypes: 'npy', 'mat' (kaldi binary
+ark pointers 'path:offset', read with our pure-python reader), and 'hdf5'
+('path:key'); 'sound*' corpora should be converted with
+cli/fcl_preprocess.py.  Optional 'spembs' entries (xvector manifests) are
+loaded when present.
 """
 
 import json
@@ -32,6 +34,25 @@ class Utterance(NamedTuple):
     dur_path: str
     f0_path: str
     energy_path: str
+    filetypes: tuple = ("npy", "npy", "npy", "npy")
+    spemb_path: str = ""      # optional speaker-embedding pointer
+
+
+def _load_feat(path, filetype):
+    """Read one feature by filetype (io_utils_fcl.py:392-473 analogue)."""
+    if filetype == "npy":
+        return np.load(path)
+    if filetype == "mat":  # kaldi binary ark pointer 'file:offset'
+        from fcl_taco2_tpu.infer.ark import read_ark_matrix
+        return read_ark_matrix(path)
+    if filetype == "hdf5":  # 'file:key'
+        import h5py
+        fname, key = path.rsplit(":", 1)
+        with h5py.File(fname, "r") as f:
+            return f[key][()]
+    raise NotImplementedError(
+        f"filetype {filetype!r}: convert the corpus with "
+        "cli/fcl_preprocess.py")
 
 
 def load_manifest(json_path: str) -> List[Utterance]:
@@ -42,14 +63,16 @@ def load_manifest(json_path: str) -> List[Utterance]:
         entry = js[uttid]
         inputs = {i["name"]: i for i in entry["input"]}
         output = entry["output"][0]
-        for name in ("input1", "input2", "input3", "input4"):
-            ft = inputs[name].get("filetype", "npy")
-            if ft != "npy":
+        names = ("input1", "input2", "input3", "input4")
+        filetypes = tuple(inputs[n].get("filetype", "npy") for n in names)
+        for ft in filetypes:
+            if ft not in ("npy", "mat", "hdf5"):
                 raise NotImplementedError(
-                    f"filetype {ft!r} for {uttid}/{name}: convert the corpus "
-                    "with cli/fcl_preprocess.py (npy features)")
+                    f"filetype {ft!r} for {uttid}: convert the corpus "
+                    "with cli/fcl_preprocess.py")
         tokenids = np.asarray([int(t) for t in output["tokenid"].split()],
                               np.int32)
+        spemb = inputs.get("spembs", {}).get("feat", "")
         utts.append(Utterance(
             uttid=uttid,
             tokenids=tokenids,
@@ -59,16 +82,20 @@ def load_manifest(json_path: str) -> List[Utterance]:
             dur_path=inputs["input2"]["feat"],
             f0_path=inputs["input3"]["feat"],
             energy_path=inputs["input4"]["feat"],
+            filetypes=filetypes,
+            spemb_path=spemb,
         ))
     return utts
 
 
 def load_features(utt: Utterance):
     """Read one utterance's features from disk (host side, worker thread)."""
-    mel = np.load(utt.mel_path).astype(np.float32)          # (L, odim)
-    dur = np.load(utt.dur_path).reshape(-1).astype(np.int32)  # (T,)
-    f0 = np.load(utt.f0_path).reshape(-1, 1).astype(np.float32)
-    energy = np.load(utt.energy_path).reshape(-1, 1).astype(np.float32)
+    ft = utt.filetypes
+    mel = _load_feat(utt.mel_path, ft[0]).astype(np.float32)  # (L, odim)
+    dur = _load_feat(utt.dur_path, ft[1]).reshape(-1).astype(np.int32)
+    f0 = _load_feat(utt.f0_path, ft[2]).reshape(-1, 1).astype(np.float32)
+    energy = _load_feat(utt.energy_path,
+                        ft[3]).reshape(-1, 1).astype(np.float32)
     if len(dur) != utt.n_tokens:
         raise ValueError(
             f"{utt.uttid}: {len(dur)} durations vs {utt.n_tokens} tokens")

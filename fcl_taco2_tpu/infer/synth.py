@@ -45,13 +45,14 @@ class Synthesizer:
         self.frame_bucket = frame_bucket
         self._jitted = {}
 
-    def _fn(self, B, Tmax, budget, warm_args=None):
-        key = (B, Tmax, budget)
+    def _fn(self, B, Tmax, budget, warm_args=None, d_factor=1.0):
+        key = (B, Tmax, budget, d_factor)
         if key not in self._jitted:
             def fn(params, state, tokens, ilens, durations, use_dur, key):
                 return self.model.synthesize(
                     params, state, tokens, ilens, key, frame_budget=budget,
-                    durations=durations if use_dur else None)
+                    durations=durations if use_dur else None,
+                    d_factor=d_factor)
             jitted = jax.jit(fn, static_argnames=("use_dur",))
             if warm_args is not None:
                 # exclude compile time from the speed metric (the reference
@@ -85,7 +86,8 @@ class Synthesizer:
         dev_args = (self.params, self.state, jnp.asarray(tokens),
                     jnp.asarray(ilens), jnp.asarray(durs),
                     durations is not None, rng)
-        fn = self._fn(B, Tmax, budget, warm_args=dev_args)
+        fn = self._fn(B, Tmax, budget, warm_args=dev_args,
+                      d_factor=d_factor)
 
         t0 = time.perf_counter()
         out = fn(*dev_args)
@@ -100,11 +102,17 @@ class Synthesizer:
                       "total_frames": total_frames}
 
     def synth_manifest(self, utts: List[Utterance], out_dir,
-                       write_ark=True, rng=None, label="decode"):
+                       write_ark=True, rng=None, label="decode",
+                       use_gt_durations=False, d_factor=1.0):
         """Decode a manifest shard; returns mean frames/sec.
 
         Writes feats.ark/feats.scp (PWG-compatible) and <label>.txt with the
-        speed summary (reference writes '<exp>.txt', tts.py:676-684)."""
+        speed summary (reference writes '<exp>.txt', tts.py:676-684).
+        ``use_gt_durations`` feeds corpus durations instead of the
+        predictor (the reference's dur= control knob,
+        e2e_tts_tacotron2_sa.py:642-646)."""
+        from fcl_taco2_tpu.data.manifest import load_features
+
         os.makedirs(out_dir, exist_ok=True)
         rng = rng if rng is not None else jax.random.PRNGKey(0)
         writer = ArkScpWriter(os.path.join(out_dir, "feats.ark"),
@@ -115,8 +123,12 @@ class Synthesizer:
             for i in range(0, len(utts), self.batch_size):
                 chunk = utts[i:i + self.batch_size]
                 rng, sub = jax.random.split(rng)
+                durs = None
+                if use_gt_durations:
+                    durs = [load_features(u)[1] for u in chunk]
                 mels, stats = self.synth_batch(
-                    [u.tokenids for u in chunk], sub)
+                    [u.tokenids for u in chunk], sub, durations=durs,
+                    d_factor=d_factor)
                 speeds.append(stats["frames_per_sec"])
                 if writer:
                     for u, m in zip(chunk, mels):

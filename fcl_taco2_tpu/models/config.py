@@ -72,6 +72,10 @@ class ModelConfig:
     energy_embed_kernel_size: int = 9
     energy_embed_dropout_rate: float = 0.5
 
+    # optional multi-speaker conditioning (e2e_tts_tacotron2_sa.py:555-557:
+    # L2-normalized speaker embedding concatenated to encoder outputs)
+    spk_embed_dim: int = 0  # 0 = single speaker (reference default None)
+
     # static shape budget: max frames per phoneme segment
     # (reference caps at 50, preprocess.py:203)
     max_dur: int = 50
@@ -82,7 +86,7 @@ class ModelConfig:
 
     @property
     def dec_idim(self):
-        return self.eunits  # spk embedding unsupported upstream path
+        return self.eunits + self.spk_embed_dim
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -29,6 +29,18 @@ from fcl_taco2_tpu.ops.masking import (lengths_to_non_pad_mask,
 from fcl_taco2_tpu.ops.regroup import gather_segments, gather_token_vectors
 
 
+def _concat_spemb(hs, spembs):
+    """L2-normalize the speaker vector and concat per token
+    (e2e_tts_tacotron2_sa.py:555-557)."""
+    norm = spembs / jnp.maximum(
+        jnp.linalg.norm(spembs, axis=-1, keepdims=True), 1e-12)
+    norm = norm.astype(hs.dtype)
+    return jnp.concatenate(
+        [hs, jnp.broadcast_to(norm[:, None, :],
+                              (hs.shape[0], hs.shape[1],
+                               norm.shape[-1]))], axis=-1)
+
+
 def _cast_floats(tree, dtype):
     """Cast float leaves to the compute dtype (bf16 policy: params stay
     fp32 in the optimizer; the cast inside the loss makes XLA run the
@@ -58,6 +70,7 @@ class Batch(NamedTuple):
     position: Any      # (P, D) float32
     utt_gather: Any    # (B, Lmax) int32
     utt_mask: Any      # (B, Lmax) bool
+    spembs: Any = None  # optional (B, spk_embed_dim) speaker embeddings
 
 
 class Tacotron2SA:
@@ -109,6 +122,8 @@ class Tacotron2SA:
         hs, enc_state, enc_kd = encoder_apply(
             params["encoder"], state["encoder"], cfg, batch.tokens,
             batch.ilens, k_enc, train, capture_kd=capture_kd)
+        if cfg.spk_embed_dim:
+            hs = _concat_spemb(hs, batch.spembs)
         pad_mask = lengths_to_pad_mask(batch.ilens, Tmax)
 
         d_outs = C.duration_predictor_apply(
@@ -147,10 +162,12 @@ class Tacotron2SA:
         dtype = jnp.dtype(cfg.compute_dtype)
         if dtype != jnp.float32:
             params = _cast_floats(params, dtype)
-            batch = batch._replace(mel=batch.mel.astype(dtype),
-                                   f0=batch.f0.astype(dtype),
-                                   energy=batch.energy.astype(dtype),
-                                   position=batch.position.astype(dtype))
+            batch = batch._replace(
+                mel=batch.mel.astype(dtype), f0=batch.f0.astype(dtype),
+                energy=batch.energy.astype(dtype),
+                position=batch.position.astype(dtype),
+                spembs=(None if batch.spembs is None
+                        else batch.spembs.astype(dtype)))
         rng, k_dec = random.split(rng)
         (hs, enc_state, enc_kd, pad_mask, d_outs, p_outs, e_outs, p_embs,
          e_embs) = self._encode_and_predict(params, state, batch, rng, train,
@@ -214,7 +231,7 @@ class Tacotron2SA:
 
     def synthesize(self, params, state, tokens, ilens, rng,
                    frame_budget: int, n_seg: Optional[int] = None,
-                   durations=None, f0=None, energy=None,
+                   durations=None, f0=None, energy=None, spembs=None,
                    d_factor: float = 1.0, decoder_backend: str = "auto"):
         """Batched device-only synthesis.
 
@@ -245,6 +262,8 @@ class Tacotron2SA:
 
         hs, _, _ = encoder_apply(params["encoder"], state["encoder"], cfg,
                                  tokens, ilens, None, train=False)
+        if cfg.spk_embed_dim:
+            hs = _concat_spemb(hs, spembs)
         pad_mask = lengths_to_pad_mask(ilens, Tmax)
 
         if durations is None:

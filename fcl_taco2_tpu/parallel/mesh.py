@@ -39,14 +39,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def batch_shardings(mesh: Mesh) -> Batch:
-    """Sharding for every Batch field: leading axis over ``data``."""
-    s = NamedSharding(mesh, P(DATA_AXIS))
-    return Batch(*([s] * len(Batch._fields)))
+def batch_shardings(mesh: Mesh) -> NamedSharding:
+    """Sharding for Batch leaves: leading axis over ``data``.  Returned as
+    a single sharding usable as a pytree PREFIX (optional fields like
+    spembs may be None)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
 
 
 def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
     """Host numpy Batch -> device arrays laid out over the mesh."""
-    shardings = batch_shardings(mesh)
-    return jax.tree_util.tree_map(
-        lambda x, sh: jax.device_put(x, sh), batch, shardings)
+    s = batch_shardings(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
