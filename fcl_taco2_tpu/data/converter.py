@@ -29,7 +29,14 @@ class BatchConverter:
 
     def __init__(self, max_dur=50, batch_size: Optional[int] = None,
                  tok_bucket=8, frame_bucket=64, seg_bucket=64,
-                 odim=80, cache=None):
+                 odim=80, cache=None, fixed_tmax: Optional[int] = None,
+                 fixed_lmax: Optional[int] = None,
+                 fixed_nseg: Optional[int] = None):
+        """With ``fixed_*`` set, every batch gets the SAME shape — one XLA
+        compile for the whole run (compiles cost minutes on remote TPU
+        attachments, so fixed shapes beat fine-grained bucketing unless
+        the padding waste is extreme).  Use ``fit_corpus`` to derive caps.
+        """
         self.max_dur = max_dur
         self.batch_size = batch_size
         self.tok_bucket = tok_bucket
@@ -37,6 +44,23 @@ class BatchConverter:
         self.seg_bucket = seg_bucket
         self.odim = odim
         self.cache = cache  # optional dict uttid -> features
+        self.fixed_tmax = fixed_tmax
+        self.fixed_lmax = fixed_lmax
+        self.fixed_nseg = fixed_nseg
+
+    def fit_corpus(self, utts):
+        """Set fixed shapes from corpus metadata, valid for ANY batch of up
+        to ``batch_size`` utterances: Tmax/Lmax are corpus maxima, the
+        segment cap is the sum of the batch_size largest token counts."""
+        if self.batch_size is None:
+            raise ValueError("fit_corpus requires a fixed batch_size")
+        tok_counts = sorted((u.n_tokens for u in utts), reverse=True)
+        self.fixed_tmax = _round_up(tok_counts[0], self.tok_bucket)
+        self.fixed_lmax = _round_up(max(u.n_frames for u in utts),
+                                    self.frame_bucket)
+        self.fixed_nseg = _round_up(sum(tok_counts[:self.batch_size]),
+                                    self.seg_bucket)
+        return self
 
     def _build_plan(self, durations, olens, n_seg_padded, max_olen):
         """Prefer the native C++ plan builder (bit-exact vs numpy,
@@ -68,8 +92,12 @@ class BatchConverter:
         for i, (u, (mel, dur, f0, en)) in enumerate(zip(utts, feats)):
             ilens[i] = u.n_tokens
             olens[i] = mel.shape[0]
-        Tmax = _round_up(ilens.max(), self.tok_bucket)
-        Lmax = _round_up(olens.max(), self.frame_bucket)
+        Tmax = self.fixed_tmax or _round_up(ilens.max(), self.tok_bucket)
+        Lmax = self.fixed_lmax or _round_up(olens.max(), self.frame_bucket)
+        if ilens.max() > Tmax or olens.max() > Lmax:
+            raise ValueError(
+                f"batch exceeds fixed shapes: tokens {int(ilens.max())}"
+                f">{Tmax} or frames {int(olens.max())}>{Lmax}")
 
         tokens = np.zeros((B, Tmax), np.int32)
         durations = np.zeros((B, Tmax), np.int32)
@@ -91,8 +119,8 @@ class BatchConverter:
             en_arr[i, :T] = en
 
         n_seg = int((durations > 0).sum())
-        plan = self._build_plan(durations, olens,
-                                _round_up(n_seg, self.seg_bucket), Lmax)
+        n_seg_padded = self.fixed_nseg or _round_up(n_seg, self.seg_bucket)
+        plan = self._build_plan(durations, olens, n_seg_padded, Lmax)
         return Batch(
             tokens=tokens, ilens=ilens, mel=mel_arr, olens=olens,
             durations=durations, f0=f0_arr, energy=en_arr,

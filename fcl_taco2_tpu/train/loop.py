@@ -56,6 +56,7 @@ class TrainConfig:
     n_devices: Optional[int] = None
     resume: Optional[str] = None
     profile_dir: Optional[str] = None  # capture an XLA trace of epoch 0
+    fixed_shapes: bool = True  # one compile for the run (see BatchConverter)
 
 
 class _nullcontext:
@@ -83,6 +84,10 @@ class Trainer:
             max_dur=model.cfg.max_dur, batch_size=tcfg.batch_size,
             seg_bucket=max(64, n_data * 8), odim=model.cfg.odim,
             cache={} if cache_features else None)
+        if tcfg.fixed_shapes:
+            # one static shape for the whole run: size caps from the whole
+            # corpus (train + val so eval shares the compile)
+            self.converter.fit_corpus(list(train_utts) + list(val_utts))
         self.tx = build_optimizer(
             name=tcfg.opt, lr=tcfg.lr, eps=tcfg.eps,
             weight_decay=tcfg.weight_decay, grad_clip=tcfg.grad_clip,
