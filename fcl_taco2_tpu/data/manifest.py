@@ -19,7 +19,6 @@ loaded when present.
 """
 
 import json
-import os
 from typing import Dict, List, NamedTuple
 
 import numpy as np

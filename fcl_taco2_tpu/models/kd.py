@@ -19,10 +19,7 @@ pre-projection activations — same math as projecting inside the modules
 (linear commutes with the gather-based regrouping).
 """
 
-from typing import Any, Dict, NamedTuple
-
 import jax
-import jax.numpy as jnp
 from jax import random
 
 from fcl_taco2_tpu.models.config import ModelConfig

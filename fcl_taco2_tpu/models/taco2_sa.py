@@ -11,7 +11,7 @@ device (the utterance regroup plan is computed with cumsums + scatter instead
 of the reference's host loops at :665-671 and decoder_sa.py:619-630).
 """
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import Any, NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp

@@ -23,7 +23,6 @@ The always-on prenet dropout (decoder_sa.py:109-112) uses the on-core PRNG
 """
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp

@@ -147,10 +147,8 @@ class Trainer:
             seed=0, odim=self.model.cfg.odim)
         for batch in self._loader(batches):
             rng, sub = jax.random.split(rng)
-            report = self._run_eval_step(ts, batch, sub)
-            self.reporter.report(
-                {k: float(v) for k, v in report.items()},
-                prefix="validation/main")
+            report = jax.device_get(self._run_eval_step(ts, batch, sub))
+            self.reporter.report(report, prefix="validation/main")
         return rng
 
     def run(self, rng=None):
@@ -172,14 +170,23 @@ class Trainer:
             profile = (t.profile_dir is not None and epoch == start_epoch)
             ctx = trace(t.profile_dir) if profile else _nullcontext()
             with ctx:
+                # metrics are fetched one step late: device_get of step i
+                # overlaps step i+1's device compute (the fetch is a ~30ms
+                # RPC on remote-attached TPUs; per-key float() would cost
+                # that PER KEY)
+                pending = None
                 for batch in self._loader(self._epoch_batches(epoch)):
                     rng, sub = jax.random.split(rng)
                     timer.tic()
                     ts, report = self._run_train_step(ts, batch, sub)
-                    self.reporter.report(
-                        {k: float(v) for k, v in report.items()},
-                        prefix="main")
+                    if pending is not None:
+                        self.reporter.report(jax.device_get(pending),
+                                             prefix="main")
+                    pending = report
                     timer.toc()
+                if pending is not None:
+                    self.reporter.report(jax.device_get(pending),
+                                         prefix="main")
             if (epoch + 1) % t.eval_interval_epochs == 0:
                 rng = self.evaluate(ts, rng)
             entry = self.reporter.summarize(epoch + 1, int(ts.step),

@@ -6,8 +6,6 @@ doing forward + backward + clip + NaN-guard + update; the gradient
 all-reduce is compiled in by XLA from the sharding layout (parallel/mesh.py).
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

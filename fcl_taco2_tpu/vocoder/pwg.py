@@ -19,7 +19,7 @@ Everything is feed-forward convs — MXU-heavy, single jit, batched.
 
 import dataclasses
 import math
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import numpy as np
 import jax
