@@ -60,6 +60,9 @@ def get_parser():
     p.add_argument("--append-position", type=strtobool, default=True)
     p.add_argument("--max-dur", type=int, default=50)
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
+    p.add_argument("--remat-decoder", type=strtobool, default=False,
+                   help="recompute decoder scan activations on backward "
+                        "(enables ~2-4x larger batches)")
     p.add_argument("--model-module", type=str, default=None,
                    help="accepted for reference-config compatibility")
     p.add_argument("--use-second-target", type=strtobool, default=True)
@@ -128,7 +131,8 @@ def model_config_from_args(args, idim, odim=80):
             args.duration_predictor_dropout_rate),
         use_fe_condition=args.use_fe_condition,
         append_position=args.append_position, max_dur=args.max_dur,
-        compute_dtype=args.compute_dtype)
+        compute_dtype=args.compute_dtype,
+        remat_decoder=args.remat_decoder)
 
 
 def infer_idim_odim(valid_json):

@@ -84,6 +84,11 @@ class ModelConfig:
     # softmax-free reductions stay fp32); 'float32' for parity tests.
     compute_dtype: str = "bfloat16"
 
+    # rematerialize the decoder scan step on backward: trades ~1 extra
+    # forward of the step for O(D) less saved activation memory (enables
+    # ~2x larger batches; jax.checkpoint per SURVEY HBM guidance)
+    remat_decoder: bool = False
+
     @property
     def dec_idim(self):
         return self.eunits + self.spk_embed_dim

@@ -120,6 +120,9 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
         ys = (out_t, new_carry[0], new_carry[2]) if capture_kd else out_t
         return new_carry, ys
 
+    if cfg.remat_decoder:
+        step = jax.checkpoint(step)  # recompute step internals on backward
+
     xs = (jnp.swapaxes(prenet_all, 0, 1), position.T, zo_keys)
     _, outs = lax.scan(step, _zero_carry(P, cfg.dunits, dtype), xs)
     if capture_kd:

@@ -49,3 +49,27 @@ def test_bf16_synthesize_runs_and_is_fp32_out():
                                np.array([[2, 2, 2]], np.int32)))
     assert out["mel"].dtype == jnp.float32
     assert np.isfinite(np.asarray(out["mel"])).all()
+
+
+def test_remat_decoder_matches_plain():
+    """jax.checkpoint must not change values, only memory."""
+    cfg = tiny_config(dropout_rate=0.0, zoneout_rate=0.0,
+                      duration_predictor_dropout_rate=0.0,
+                      pitch_predictor_dropout_rate=0.0,
+                      energy_predictor_dropout_rate=0.0,
+                      pitch_embed_dropout_rate=0.0,
+                      energy_embed_dropout_rate=0.0)
+    cfg_r = cfg.replace(remat_decoder=True)
+    m, mr = Tacotron2SA(cfg), Tacotron2SA(cfg_r)
+    params, state = m.init(jax.random.PRNGKey(0))
+    batch = synthetic_batch(cfg)
+    l1, _ = m.loss_fn(params, state, batch, jax.random.PRNGKey(1))
+    l2, _ = mr.loss_fn(params, state, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    g1 = jax.grad(lambda p: m.loss_fn(p, state, batch,
+                                      jax.random.PRNGKey(1))[0])(params)
+    g2 = jax.grad(lambda p: mr.loss_fn(p, state, batch,
+                                       jax.random.PRNGKey(1))[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
