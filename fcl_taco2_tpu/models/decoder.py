@@ -121,7 +121,10 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
         return new_carry, ys
 
     if cfg.remat_decoder:
-        step = jax.checkpoint(step)  # recompute step internals on backward
+        # prevent_cse=False: inside lax.scan the loop structure already
+        # prevents the CSE that prevent_cse guards against (per JAX docs),
+        # and the default's optimization barriers inhibit TPU fusion
+        step = jax.checkpoint(step, prevent_cse=False)
 
     xs = (jnp.swapaxes(prenet_all, 0, 1), position.T, zo_keys)
     _, outs = lax.scan(step, _zero_carry(P, cfg.dunits, dtype), xs)
