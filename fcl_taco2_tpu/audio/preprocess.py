@@ -146,13 +146,18 @@ class Frontend:
             win = cfg.win_length or cfg.n_fft
 
             @jax.jit
-            def fn(x):
-                mel = logmel(x, cfg.set_fs, cfg.n_fft, cfg.n_shift, win,
-                             cfg.n_mels, cfg.fmin, cfg.fmax,
-                             mel_basis=basis)
-                en = frame_energy(x, cfg.n_fft, cfg.n_shift, win)
+            def fn(x_stft, x_raw):
+                # x_stft rows are per-utterance reflect-padded by n_fft//2
+                # BEFORE zero-bucketing, so every utterance's edge frames
+                # see the librosa center=True reflection of its own signal
+                # (zero-bucket padding would corrupt the last ~2 frames)
+                mel = logmel(x_stft, cfg.set_fs, cfg.n_fft, cfg.n_shift,
+                             win, cfg.n_mels, cfg.fmin, cfg.fmax,
+                             mel_basis=basis, center=False)
+                en = frame_energy(x_stft, cfg.n_fft, cfg.n_shift, win,
+                                  center=False)
                 f0 = jax.vmap(lambda xi: yin_f0(
-                    xi, cfg.set_fs, cfg.n_shift))(x)
+                    xi, cfg.set_fs, cfg.n_shift))(x_raw)
                 return mel, f0, en
 
             self._jitted[n_samples] = fn
@@ -177,10 +182,16 @@ class Frontend:
                 max_len = cand
                 chunk.append(order[i])
                 i += 1
-            batch = np.zeros((len(chunk), max_len), np.float32)
+            pad = cfg.n_fft // 2
+            batch_stft = np.zeros((len(chunk), max_len + 2 * pad),
+                                  np.float32)
+            batch_raw = np.zeros((len(chunk), max_len), np.float32)
             for r, j in enumerate(chunk):
-                batch[r, :len(wavs[j])] = wavs[j]
-            mel, f0, en = self._fn(max_len)(batch)
+                w = wavs[j]
+                batch_stft[r, :len(w) + 2 * pad] = np.pad(w, pad,
+                                                          mode="reflect")
+                batch_raw[r, :len(w)] = w
+            mel, f0, en = self._fn(max_len)(batch_stft, batch_raw)
             mel, f0, en = np.asarray(mel), np.asarray(f0), np.asarray(en)
             for r, j in enumerate(chunk):
                 T = 1 + len(wavs[j]) // cfg.n_shift

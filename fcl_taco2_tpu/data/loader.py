@@ -28,24 +28,43 @@ class PrefetchLoader:
     def __iter__(self):
         q = queue.Queue(maxsize=self.depth)
         stop = object()
+        abandoned = threading.Event()
         err = []
+
+        def _put(item):
+            # bounded put that gives up if the consumer went away (an
+            # exception or break in the training loop must not leave the
+            # worker blocked on a full queue forever)
+            while not abandoned.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for b in self.batches:
-                    q.put(self.put_fn(self.convert_fn(b)))
+                    if not _put(self.put_fn(self.convert_fn(b))):
+                        return
             except BaseException as e:  # surface in consumer thread
                 err.append(e)
             finally:
-                q.put(stop)
+                _put(stop)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is stop:
-                break
-            yield item
-        t.join()
-        if err:
-            raise err[0]
+        try:
+            while True:
+                item = q.get()
+                if item is stop:
+                    break
+                if err:
+                    break
+                yield item
+        finally:
+            abandoned.set()
+            t.join()
+            if err:
+                raise err[0]

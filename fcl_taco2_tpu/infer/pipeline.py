@@ -88,10 +88,13 @@ class TTSPipeline:
         for i, t in enumerate(token_lists):
             tokens[i, :len(t)] = t
             ilens[i] = len(t)
+        warm = (B, Tmax, budget) not in self._jitted
         fn = self._fn(B, Tmax, budget)
         args = (self.params, self.state, self.pwg_params,
                 jnp.asarray(tokens), jnp.asarray(ilens), rng)
-        jax.block_until_ready(fn(*args)[0])  # warm this shape
+        if warm:  # exclude compile from the RTF metric, but only once —
+            # re-running every call would double production compute
+            jax.block_until_ready(fn(*args)[0])
         t0 = time.perf_counter()
         wav, wav_lens, olens = fn(*args)
         wav = np.asarray(wav)

@@ -98,21 +98,24 @@ def conv_bn_stack_init(key, n_layers, in_ch, hidden_ch, out_ch, width, gain,
     return {"convs": convs, "bns": bns}, {"bns": bn_states}
 
 
-def _bn(x, p, s, train):
+def _bn(x, p, s, train, mask=None):
     y, ns = batch_norm(
-        x, BatchNormParams(**p), BatchNormState(**s), train=train)
+        x, BatchNormParams(**p), BatchNormState(**s), train=train,
+        mask=mask)
     return y, ns._asdict()
 
 
 def encoder_convs_apply(params, state, x, rng, dropout_rate, train,
-                        use_residual=False, capture=None):
+                        use_residual=False, capture=None, seq_mask=None):
     """conv->BN->ReLU->dropout stack (encoder_sa.py:134-140). ``capture``
-    collects per-layer outputs for KD (encoder_sa_kd.py:157-171)."""
+    collects per-layer outputs for KD (encoder_sa_kd.py:157-171);
+    ``seq_mask`` (B, T) keeps BN statistics on valid positions."""
     new_states = []
     for i, conv in enumerate(params["convs"]):
         rng, sub = _split(rng)
         h = conv1d(x, conv["kernel"])
-        h, ns = _bn(h, params["bns"][i], state["bns"][i], train)
+        h, ns = _bn(h, params["bns"][i], state["bns"][i], train,
+                    mask=seq_mask)
         new_states.append(ns)
         h = jax.nn.relu(h)
         h = maybe_dropout(sub, h, dropout_rate, train)
@@ -136,7 +139,8 @@ def postnet_apply(params, state, x, rng, dropout_rate, train, capture=None,
     for i, conv in enumerate(params["convs"]):
         rng, sub = _split(rng)
         x = conv1d(x, conv["kernel"])
-        x, ns = _bn(x, params["bns"][i], state["bns"][i], train)
+        x, ns = _bn(x, params["bns"][i], state["bns"][i], train,
+                    mask=seq_mask)
         state["bns"][i] = ns  # caller passes a fresh copy
         if i < n - 1:
             x = jnp.tanh(x)

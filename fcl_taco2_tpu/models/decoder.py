@@ -137,7 +137,8 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
     post_state = jax.tree_util.tree_map(lambda x: x, state["postnet"])
     correction, post_state = C.postnet_apply(
         params["postnet"], post_state, before, k_post, cfg.dropout_rate,
-        train, capture=post_capture)
+        train, capture=post_capture,
+        seq_mask=utt_mask if train else None)
     after = before + correction
 
     kd = None

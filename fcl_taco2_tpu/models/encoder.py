@@ -36,13 +36,19 @@ def encoder_apply(params, state, cfg, tokens, ilens, rng, train,
     Returns (hs, new_state, kd_items) where kd_items is
     [embed, conv0, conv1, conv2, blstm] (encoder_sa_kd.py:196) or None.
     """
+    import jax.numpy as jnp
+
     x = params["embed"][tokens]  # (B, T, E); PAD row is zeros
+    # valid-position mask for BN statistics (padding would dilute them
+    # under fixed-shape batching)
+    seq_mask = (jnp.arange(tokens.shape[1])[None, :]
+                < ilens[:, None]) if train else None
     capture = [] if capture_kd else None
     if capture_kd:
         capture.append(x)
     x, conv_state = C.encoder_convs_apply(
         params["convs"], state["convs"], x, rng, cfg.dropout_rate, train,
-        use_residual=cfg.use_residual, capture=capture)
+        use_residual=cfg.use_residual, capture=capture, seq_mask=seq_mask)
     hs = bilstm(C.as_lstm(params["blstm_fwd"]), C.as_lstm(params["blstm_bwd"]),
                 x, ilens)
     if capture_kd:

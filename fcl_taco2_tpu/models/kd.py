@@ -59,7 +59,7 @@ class KDStudent:
         k_student, k_proj = random.split(key)
         params, state = self.student.init(k_student)
         s, t = self.scfg, self.tcfg
-        ks = random.split(k_proj, 12)
+        ks = random.split(k_proj, 14)
         n_convs = 1 if self.share_proj else s.econv_layers
         n_lstm = 1 if self.share_proj else 2
         n_post = 1 if self.share_proj else s.postnet_layers - 1
@@ -73,8 +73,8 @@ class KDStudent:
                      for i in range(n_lstm)],
             "post": [_proj_init(ks[8 + i], s.postnet_chans, t.postnet_chans)
                      for i in range(n_post)],
-            "pemb": _proj_init(ks[10], s.eunits, t.eunits),
-            "eemb": _proj_init(ks[11], s.eunits, t.eunits),
+            "pemb": _proj_init(ks[12], s.eunits, t.eunits),
+            "eemb": _proj_init(ks[13], s.eunits, t.eunits),
         }
         params["kd_proj"] = proj
         return params, state
@@ -83,11 +83,15 @@ class KDStudent:
 
     @staticmethod
     def _knowledge_mse(students, teachers, mask):
-        """Sum of masked-mean MSEs over tensor pairs
-        (Knowledge_loss, …_kd_student.py:156-179)."""
+        """Sum of masked-mean MSEs over tensor pairs, accumulated in fp32
+        regardless of compute dtype (Knowledge_loss,
+        …_kd_student.py:156-179)."""
+        import jax.numpy as jnp
+
         total = 0.0
         for s_item, t_item in zip(students, teachers):
-            total = total + masked_mse(s_item, t_item, mask)
+            total = total + masked_mse(s_item.astype(jnp.float32),
+                                       t_item.astype(jnp.float32), mask)
         return total
 
     def _pick(self, plist, i):
@@ -120,14 +124,13 @@ class KDStudent:
         out_mask = lengths_to_non_pad_mask(batch.olens, Lmax)[..., None]
 
         if self.distill_output:
-            out_l1 = masked_l1(s_know["after_outs"], t_know["after_outs"],
-                               out_mask) \
-                + masked_l1(s_know["before_outs"], t_know["before_outs"],
-                            out_mask)
-            out_mse = masked_mse(s_know["after_outs"], t_know["after_outs"],
-                                 out_mask) \
-                + masked_mse(s_know["before_outs"], t_know["before_outs"],
-                             out_mask)
+            import jax.numpy as jnp
+            f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+            sa, ta = f32(s_know["after_outs"]), f32(t_know["after_outs"])
+            sb, tb = f32(s_know["before_outs"]), f32(t_know["before_outs"])
+            out_l1 = masked_l1(sa, ta, out_mask) + masked_l1(sb, tb, out_mask)
+            out_mse = masked_mse(sa, ta, out_mask) \
+                + masked_mse(sb, tb, out_mask)
             loss = loss + out_l1 + out_mse
             report["output_l1_loss"] = out_l1
             report["output_mse_loss"] = out_mse

@@ -230,7 +230,7 @@ class Tacotron2SA:
     # ---------------- inference ----------------
 
     def synthesize(self, params, state, tokens, ilens, rng,
-                   frame_budget: int, n_seg: Optional[int] = None,
+                   frame_budget: int,
                    durations=None, f0=None, energy=None, spembs=None,
                    d_factor: float = 1.0, decoder_backend: str = "auto"):
         """Batched device-only synthesis.
@@ -239,7 +239,6 @@ class Tacotron2SA:
             tokens: (B, Tmax) int32 (PAD=0).
             ilens: (B,) lengths.
             frame_budget: static per-utterance output frame budget (Lmax).
-            n_seg: static segment budget; defaults to B*Tmax.
             durations/f0/energy: optional (B, Tmax)/(B, Tmax, 1) overrides —
                 the reference's control knobs (e2e_tts_tacotron2_sa.py:642-658).
             d_factor: multiplies predicted durations (speed control; an
@@ -257,7 +256,7 @@ class Tacotron2SA:
             params = _cast_floats(params, dtype)
         B, Tmax = tokens.shape
         D = cfg.max_dur
-        P = n_seg if n_seg is not None else B * Tmax
+        P = B * Tmax  # one segment slot per token
         k_enc, k_dec = random.split(rng)
 
         hs, _, _ = encoder_apply(params["encoder"], state["encoder"], cfg,
@@ -314,12 +313,20 @@ class Tacotron2SA:
             0.0).astype(dtype)
 
         enc_seg = gather_token_vectors(hs, seg_utt, seg_tok)
+        # the fused kernel hard-codes the reference topology: 2 prenet
+        # layers, appended position column, enc-concat feat_out, 2 LSTMs
+        pallas_compatible = (cfg.prenet_layers == 2 and cfg.append_position
+                             and cfg.use_concate and cfg.dlayers == 2)
         if decoder_backend == "auto":
             from fcl_taco2_tpu.ops.decoder_pallas import fits_vmem
             use_pallas = (jax.default_backend() == "tpu"
-                          and fits_vmem(cfg, D))
+                          and pallas_compatible and fits_vmem(cfg, D))
         else:
             use_pallas = decoder_backend == "pallas"
+            if use_pallas and not pallas_compatible:
+                raise ValueError(
+                    "decoder_backend='pallas' requires prenet_layers=2, "
+                    "append_position, use_concate and dlayers=2")
         if use_pallas:
             # fused Pallas AR loop: decoder weights stay resident in VMEM
             # across all D steps (ops/decoder_pallas.py; 2-2.7x vs scan

@@ -45,8 +45,15 @@ class BatchNormState(NamedTuple):
 
 
 def batch_norm(x, params: BatchNormParams, state: BatchNormState, *, train,
-               momentum=0.1, eps=1e-5):
-    """BatchNorm over all positions of (B, T, C) (torch BatchNorm1d parity).
+               momentum=0.1, eps=1e-5, mask=None):
+    """BatchNorm over positions of (B, T, C) (torch BatchNorm1d layout).
+
+    With ``mask`` (B, T) the statistics cover VALID positions only.  The
+    torch reference pads only to the per-batch max (tts.py:545-550), so its
+    padding dilution is small; this codebase pads to fixed corpus-wide
+    shapes plus empty batch-fill utterances, where unmasked statistics
+    would be dominated by zeros — masked stats are required for training
+    parity (pass mask=None only for exact torch-semantics unit tests).
 
     Returns (y, new_state). In eval mode new_state is state unchanged.
     Statistics are always computed in fp32 (mixed-precision safe); the
@@ -57,11 +64,20 @@ def batch_norm(x, params: BatchNormParams, state: BatchNormState, *, train,
     scale = params.scale.astype(jnp.float32)
     bias = params.bias.astype(jnp.float32)
     if train:
-        n = x.shape[0] * x.shape[1]
-        mean = jnp.mean(x32, axis=(0, 1))
-        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1))  # biased
+        if mask is None:
+            n = x.shape[0] * x.shape[1]
+            mean = jnp.mean(x32, axis=(0, 1))
+            var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1))  # biased
+        else:
+            m = mask.astype(jnp.float32)[..., None]
+            n = jnp.maximum(jnp.sum(m), 1.0)
+            mean = jnp.sum(x32 * m, axis=(0, 1)) / n
+            var = jnp.sum(jnp.square(x32 - mean) * m, axis=(0, 1)) / n
         y = (x32 - mean) * jax.lax.rsqrt(var + eps)
-        unbiased = var * (n / max(n - 1, 1))
+        if mask is None:
+            unbiased = var * (n / max(n - 1, 1))
+        else:
+            unbiased = var * (n / jnp.maximum(n - 1.0, 1.0))
         new_state = BatchNormState(
             mean=(1 - momentum) * state.mean + momentum * mean,
             var=(1 - momentum) * state.var + momentum * unbiased,

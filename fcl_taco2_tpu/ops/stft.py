@@ -98,19 +98,19 @@ def stft_mag(x, n_fft=1024, hop=256, win_length=None, center=True):
 
 
 def logmel(x, sr=22050, n_fft=1024, hop=256, win_length=None, n_mels=80,
-           fmin=80.0, fmax=7600.0, eps=1e-10, mel_basis=None):
+           fmin=80.0, fmax=7600.0, eps=1e-10, mel_basis=None, center=True):
     """log10-mel spectrogram, espnet logmelspectrogram parity:
     (..., N) -> (..., T, n_mels)."""
     if mel_basis is None:
         mel_basis = jnp.asarray(
             mel_filterbank(sr, n_fft, n_mels, fmin, fmax))
-    mag = stft_mag(x, n_fft, hop, win_length)
+    mag = stft_mag(x, n_fft, hop, win_length, center=center)
     mel = mag @ mel_basis.T
     return jnp.log10(jnp.maximum(eps, mel))
 
 
-def frame_energy(x, n_fft=1024, hop=256, win_length=None):
+def frame_energy(x, n_fft=1024, hop=256, win_length=None, center=True):
     """Per-frame L2 norm of |STFT| (preprocess.py:71-72):
     (..., N) -> (..., T)."""
-    mag = stft_mag(x, n_fft, hop, win_length)
+    mag = stft_mag(x, n_fft, hop, win_length, center=center)
     return jnp.sqrt(jnp.sum(mag * mag, axis=-1))

@@ -40,7 +40,8 @@ def _to_host(tree):
     return jax.tree_util.tree_map(np.asarray, tree)
 
 
-def save_checkpoint(path, train_state: TrainState, epoch: int = 0):
+def save_checkpoint(path, train_state: TrainState, epoch: int = 0,
+                    best_val: Optional[float] = None):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     # to_state_dict normalizes lists / optax NamedTuples into plain
     # string-keyed dicts so the msgpack roundtrip matches from_state_dict
@@ -52,6 +53,7 @@ def save_checkpoint(path, train_state: TrainState, epoch: int = 0):
             _to_host(train_state.opt_state)),
         "step": int(train_state.step),
         "epoch": int(epoch),
+        "best_val": float("inf") if best_val is None else float(best_val),
     }
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
@@ -61,11 +63,13 @@ def save_checkpoint(path, train_state: TrainState, epoch: int = 0):
 
 
 def restore_checkpoint(path, template: Optional[TrainState] = None):
-    """Returns (TrainState, epoch). With a template, leaves are restored to
-    the template's treedef (shape-checked); without, raw nested dicts."""
+    """Returns (TrainState, epoch, best_val). With a template, leaves are
+    restored to the template's treedef (shape-checked); without, raw
+    nested dicts."""
     with open(path, "rb") as f:
         payload = serialization.msgpack_restore(f.read())
     epoch = int(payload.get("epoch", 0))
+    best_val = float(payload.get("best_val", float("inf")))
     if template is not None:
         restored = TrainState(
             params=serialization.from_state_dict(template.params,
@@ -76,8 +80,8 @@ def restore_checkpoint(path, template: Optional[TrainState] = None):
                                                     payload["opt_state"]),
             step=payload["step"],
         )
-        return restored, epoch
-    return payload, epoch
+        return restored, epoch, best_val
+    return payload, epoch, best_val
 
 
 def load_params_only(path, params_template, state_template=None):

@@ -41,8 +41,13 @@ class KDTrainer(Trainer):
             lambda s: np.zeros(s.shape, s.dtype), t_template)
         t_state_template = jax.tree_util.tree_map(
             lambda s: np.zeros(s.shape, s.dtype), t_state_template)
-        self.teacher_params, self.teacher_state = load_params_only(
+        t_params, t_state = load_params_only(
             teacher_checkpoint, t_template, t_state_template)
+        # transfer the frozen teacher ONCE (passing host numpy each step
+        # would re-upload ~100MB per iteration on remote-attached TPUs)
+        put = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x, t))
+        self.teacher_params = put(t_params)
+        self.teacher_state = put(t_state)
         save_model_json(tcfg.exp_dir, kd.scfg, extra={
             "train_config": dataclasses.asdict(tcfg),
             "teacher_config": dataclasses.asdict(kd.tcfg),

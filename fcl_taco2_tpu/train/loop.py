@@ -157,14 +157,15 @@ class Trainer:
         rng, init_rng = jax.random.split(rng)
         ts = self.init_state(init_rng)
         start_epoch = 0
+        best_val = float("inf")
         if t.resume:
-            ts, start_epoch = restore_checkpoint(t.resume, ts)
-            print(f"resumed from {t.resume} at epoch {start_epoch}")
+            ts, start_epoch, best_val = restore_checkpoint(t.resume, ts)
+            print(f"resumed from {t.resume} at epoch {start_epoch} "
+                  f"(best_val {best_val:.4f})")
 
         from fcl_taco2_tpu.train.profiler import StepTimer, trace
 
         timer = StepTimer()
-        best_val = float("inf")
         bad_epochs = 0
         for epoch in range(start_epoch, t.epochs):
             profile = (t.profile_dir is not None and epoch == start_epoch)
@@ -196,7 +197,8 @@ class Trainer:
 
             if (epoch + 1) % t.save_interval_epochs == 0:
                 save_checkpoint(os.path.join(
-                    t.exp_dir, f"snapshot.ep.{epoch + 1}"), ts, epoch + 1)
+                    t.exp_dir, f"snapshot.ep.{epoch + 1}"), ts, epoch + 1,
+                    best_val=best_val)
             val = entry.get("validation/main/loss")
             if val is not None:
                 if val < best_val:
@@ -204,7 +206,7 @@ class Trainer:
                     bad_epochs = 0
                     save_checkpoint(os.path.join(t.exp_dir,
                                                  "model.loss.best"), ts,
-                                    epoch + 1)
+                                    epoch + 1, best_val=best_val)
                 else:
                     bad_epochs += 1
                 if t.patience > 0 and bad_epochs >= t.patience:

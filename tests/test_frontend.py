@@ -103,3 +103,24 @@ def test_yin_silence_is_unvoiced():
     x = np.zeros(22050, np.float32)
     f0 = np.asarray(yin_f0(jnp.asarray(x)))
     assert (f0 == 0).all()
+
+
+def test_batched_frontend_tail_frames_match_exact():
+    """Frontend bucketing must not corrupt edge frames: compare against
+    the single-utterance center=True (reflect) computation."""
+    from fcl_taco2_tpu.audio.preprocess import Frontend, PreprocessConfig
+
+    rng = np.random.default_rng(0)
+    cfg = PreprocessConfig(set_fs=22050, batch_frames=2 ** 18)
+    wavs = [rng.normal(size=n).astype(np.float32) * 0.3
+            for n in (5000, 7777, 12000)]
+    results = Frontend(cfg).process(wavs)
+    for w, (mel_b, f0_b, en_b) in zip(wavs, results):
+        mel_e = np.asarray(logmel(jnp.asarray(w), cfg.set_fs, cfg.n_fft,
+                                  cfg.n_shift, cfg.n_fft, cfg.n_mels,
+                                  cfg.fmin, cfg.fmax))
+        T = 1 + len(w) // cfg.n_shift
+        assert mel_b.shape[0] == T
+        np.testing.assert_allclose(mel_b, mel_e[:T], atol=2e-3)
+        # the LAST frame especially (previous bug: zero-pad vs reflect)
+        np.testing.assert_allclose(mel_b[-1], mel_e[T - 1], atol=2e-3)

@@ -54,8 +54,9 @@ def test_train_checkpoint_resume(tmp_path):
     assert int(ts2.step) == int(ts.step)  # same total steps after resume
 
     # restored params load exactly
-    restored, epoch = restore_checkpoint(
+    restored, epoch, best_val = restore_checkpoint(
         os.path.join(exp, "snapshot.ep.2"), ts)
+    assert np.isfinite(best_val)
     assert epoch == 2
     a = jax.tree_util.tree_leaves(restored.params)
     b = jax.tree_util.tree_leaves(ts.params)
