@@ -196,12 +196,18 @@ def jax_tpu_run():
 
 
 def main():
+    protocol = {"n_phones": N_PHONES, "mean_dur": MEAN_DUR,
+                "idim": IDIM, "odim": ODIM}
+    base = None
     if os.path.exists(CACHE):
         with open(CACHE) as f:
             base = json.load(f)
-    else:
+        if base.get("protocol") != protocol:
+            base = None  # stale cache from a different benchmark protocol
+    if base is None:
         fps, frames = torch_cpu_baseline()
-        base = {"torch_cpu_frames_per_sec": fps, "frames": frames}
+        base = {"torch_cpu_frames_per_sec": fps, "frames": frames,
+                "protocol": protocol}
         with open(CACHE, "w") as f:
             json.dump(base, f, indent=2)
 

@@ -26,6 +26,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from fcl_taco2_tpu.data import load_manifest
+    from fcl_taco2_tpu.data.manifest import _load_feat
     from fcl_taco2_tpu.infer.ark import read_ark_matrix
     from fcl_taco2_tpu.infer.metrics import (mel_cepstral_distortion,
                                              mel_l1, mel_rmse)
@@ -38,7 +39,8 @@ def main(argv=None):
             if uttid not in utts:
                 continue
             hyp = read_ark_matrix(pointer)
-            ref = np.load(utts[uttid].mel_path)
+            u = utts[uttid]
+            ref = _load_feat(u.mel_path, u.filetypes[0])
             rows.append({
                 "uttid": uttid,
                 "mcd": mel_cepstral_distortion(hyp, ref),

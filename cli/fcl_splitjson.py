@@ -20,14 +20,19 @@ def main(argv=None):
     with open(args.json_path) as f:
         utts = json.load(f)["utts"]
     keys = sorted(utts.keys())
+    n = len(keys)
+    if n < args.parts:
+        raise SystemExit(
+            f"#utterances ({n}) < #splits ({args.parts})"
+        )  # reference splitjson errors here too
     base = os.path.basename(args.json_path).rsplit(".", 1)[0]
     out_dir = os.path.join(os.path.dirname(args.json_path),
                            f"split{args.parts}utt")
     os.makedirs(out_dir, exist_ok=True)
-    n = len(keys)
-    per = (n + args.parts - 1) // args.parts
+    # np.array_split balancing: no shard is empty and sizes differ by <=1
+    bounds = [round(i * n / args.parts) for i in range(args.parts + 1)]
     for k in range(args.parts):
-        shard = {u: utts[u] for u in keys[k * per:(k + 1) * per]}
+        shard = {u: utts[u] for u in keys[bounds[k]:bounds[k + 1]]}
         out = os.path.join(out_dir, f"{base}.{k + 1}.json")
         with open(out, "w") as f:
             json.dump({"utts": shard}, f, indent=4, sort_keys=True)

@@ -25,6 +25,9 @@ def get_parser():
     p.add_argument("--json", type=str, required=True)
     p.add_argument("--out", type=str, required=True)
     p.add_argument("--batch-size", type=int, default=8)
+    p.add_argument("--frame-per-token", type=int, default=16,
+                   help="output frame budget per input token when durations "
+                        "are predicted (raise if truncation is reported)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--d-factor", type=float, default=1.0,
                    help="duration multiplier (speaking-rate control)")
@@ -58,7 +61,8 @@ def main(argv=None):
     params, state = load_params_only(args.model, template_p, template_s)
 
     utts = load_manifest(args.json)
-    synth = Synthesizer(model, params, state, batch_size=args.batch_size)
+    synth = Synthesizer(model, params, state, batch_size=args.batch_size,
+                        frame_per_token=args.frame_per_token)
     mean_fps = synth.synth_manifest(
         utts, args.out, write_ark=not args.no_ark,
         rng=jax.random.PRNGKey(args.seed),

@@ -41,9 +41,10 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from fcl_taco2_tpu.infer.ark import read_ark_matrix
+    from fcl_taco2_tpu.infer.pipeline import pwg_receptive_field
     from fcl_taco2_tpu.utils.device import warmup_transfers
     from fcl_taco2_tpu.vocoder.pwg import (PWGConfig, load_pwg_checkpoint,
-                                           pwg_generate, pwg_init)
+                                           pwg_generate_chunked, pwg_init)
 
     cfg = PWGConfig()
     if args.checkpoint:
@@ -55,17 +56,26 @@ def main(argv=None):
     warmup_transfers()
 
     os.makedirs(args.outdir, exist_ok=True)
-    gen = jax.jit(lambda p, m, n: pwg_generate(p, cfg, m, n))
+    # chunked vocode (full-utterance PWG OOMs HBM past ~1k mel frames);
+    # mel lengths are bucketed so the jit cache stays small (remote
+    # compiles cost minutes)
+    ctx = -(-pwg_receptive_field(cfg) // cfg.hop) + 1
+    gen = jax.jit(lambda p, m, n: pwg_generate_chunked(
+        p, cfg, m, n, chunk_frames=128, context_frames=ctx))
     key = jax.random.PRNGKey(args.seed)
     with open(args.feats_scp) as f:
         entries = [line.split() for line in f.read().splitlines()]
     for uttid, pointer in entries:
         mel = read_ark_matrix(pointer)
+        T = mel.shape[0]
+        Tb = -(-T // 64) * 64  # length bucket
+        mel_p = np.zeros((Tb, mel.shape[1]), np.float32)
+        mel_p[:T] = mel
         key, sub = jax.random.split(key)
-        noise = jax.random.normal(sub, (1, mel.shape[0] * cfg.hop))
-        wav = np.asarray(gen(params, jnp.asarray(mel[None]), noise))[0]
-        write_wav(os.path.join(args.outdir, f"{uttid}.wav"), wav,
-                  args.sample_rate)
+        noise = jax.random.normal(sub, (1, Tb * cfg.hop))
+        wav = np.asarray(gen(params, jnp.asarray(mel_p[None]), noise))[0]
+        write_wav(os.path.join(args.outdir, f"{uttid}.wav"),
+                  wav[:T * cfg.hop], args.sample_rate)
     print(f"vocoded {len(entries)} utts -> {args.outdir}")
 
 

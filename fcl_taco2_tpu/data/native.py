@@ -31,9 +31,11 @@ def _load():
             return _lib
         _tried = True
         try:
-            if not os.path.exists(_LIB_PATH):
-                subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
-                               capture_output=True)
+            # unconditional make: a no-op when up to date, and picks up
+            # edits to fclrt.cpp (stale .so would silently compute plans
+            # with old logic)
+            subprocess.run(["make", "-C", _NATIVE_DIR], check=True,
+                           capture_output=True)
             lib = ctypes.CDLL(_LIB_PATH)
         except Exception:
             return None

@@ -77,7 +77,14 @@ class Synthesizer:
         if n > B:
             raise ValueError(f"{n} utterances > batch_size {B}")
         Tmax = _round_up(max(len(t) for t in token_lists), self.tok_bucket)
-        budget = _round_up(Tmax * self.frame_per_token, self.frame_bucket)
+        if durations is not None:
+            # exact budget from the given durations — never truncates
+            need = max(int(np.sum(d)) for d in durations)
+            need = int(np.ceil(need * max(d_factor, 1.0))) + len(durations)
+            budget = _round_up(need, self.frame_bucket)
+        else:
+            budget = _round_up(Tmax * self.frame_per_token,
+                               self.frame_bucket)
         tokens = np.zeros((B, Tmax), np.int32)
         ilens = np.zeros(B, np.int32)
         durs = np.zeros((B, Tmax), np.int32)
@@ -99,10 +106,16 @@ class Synthesizer:
         wall = time.perf_counter() - t0
 
         mels = [mel[i, :olens[i]] for i in range(n)]
+        truncated = int((olens[:n] >= budget).sum())
+        if truncated and durations is None:
+            print(f"WARNING: {truncated} utterance(s) hit the frame budget "
+                  f"({budget}); raise frame_per_token (currently "
+                  f"{self.frame_per_token}) to avoid truncation")
         total_frames = int(olens[:n].sum())
         fps = total_frames / wall if wall > 0 else float("inf")
         return mels, {"frames_per_sec": fps, "wall_sec": wall,
-                      "total_frames": total_frames}
+                      "total_frames": total_frames,
+                      "truncated": truncated}
 
     def synth_manifest(self, utts: List[Utterance], out_dir,
                        write_ark=True, rng=None, label="decode",

@@ -269,11 +269,11 @@ class Tacotron2SA:
             d_outs = C.duration_predictor_inference(
                 params["duration_predictor"], hs, pad_mask,
                 offset=cfg.duration_predictor_offset)
-            if d_factor != 1.0:
-                d_outs = jnp.round(d_outs.astype(jnp.float32)
-                                   * d_factor).astype(jnp.int32)
         else:
             d_outs = durations.astype(jnp.int32)
+        if d_factor != 1.0:  # speaking-rate knob applies to BOTH sources
+            d_outs = jnp.round(d_outs.astype(jnp.float32)
+                               * d_factor).astype(jnp.int32)
         d_outs = jnp.clip(d_outs, 0, D)
         d_outs = jnp.where(pad_mask, 0, d_outs)
 

@@ -81,13 +81,4 @@ int32_t fclrt_build_plan(
   return seg;
 }
 
-// Pad a ragged float feature into a zeroed (rows, cols) destination.
-void fclrt_pad_copy(const float* src, int32_t rows, int32_t cols,
-                    float* dst, int32_t dst_rows, int32_t dst_cols) {
-  for (int32_t r = 0; r < rows; ++r) {
-    std::memcpy(dst + (int64_t)r * dst_cols, src + (int64_t)r * cols,
-                sizeof(float) * cols);
-  }
-}
-
 }  // extern "C"
