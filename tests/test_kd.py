@@ -81,3 +81,47 @@ def test_kd_projections_receive_gradient_and_student_trains():
     for path, g in jax.tree_util.tree_leaves_with_path(pg):
         assert float(jnp.max(jnp.abs(g))) > 0, jax.tree_util.keystr(path)
     assert losses[-1] < losses[0], losses
+
+
+def test_kd_share_proj_false_keys_and_loss():
+    """Non-shared projections: distinct per-layer weights (regression for
+    a PRNG key collision between post2/post3 and pemb/eemb)."""
+    kd, tp, tst, sp, sst, batch = _setup(share_proj=False)
+    proj = sp["kd_proj"]
+    assert len(proj["convs"]) == 2 and len(proj["lstm"]) == 2
+    # no two projection matrices of equal shape may be identical
+    import numpy as _np
+    mats = [_np.asarray(proj["post"][i]["w"]) for i in range(len(proj["post"]))]
+    mats += [_np.asarray(proj["pemb"]["w"]), _np.asarray(proj["eemb"]["w"])]
+    for i in range(len(mats)):
+        for j in range(i + 1, len(mats)):
+            if mats[i].shape == mats[j].shape:
+                assert not _np.array_equal(mats[i], mats[j]), (i, j)
+    loss, (report, _, _) = kd.loss_fn(sp, sst, tp, tst, batch,
+                                      jax.random.PRNGKey(2), train=True)
+    assert np.isfinite(float(loss))
+
+
+def test_kd_step_multi_device():
+    """KD train step over an 8-device data mesh == semantics-preserving."""
+    from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
+    from fcl_taco2_tpu.train.optim import build_optimizer
+    from fcl_taco2_tpu.train.state import TrainState
+    from fcl_taco2_tpu.train.step import make_kd_train_step
+    import numpy as _np
+
+    tcfg = tiny_config()
+    scfg = tiny_config(embed_dim=8, eunits=8, econv_chans=8, dunits=12,
+                       prenet_units=6, postnet_chans=6)
+    kd = KDStudent(scfg, tcfg)
+    tp, tst = kd.teacher.init(jax.random.PRNGKey(0))
+    sp, sst = kd.init(jax.random.PRNGKey(1))
+    batch = synthetic_batch(tcfg, B=8, Tmax=5, n_seg=32)
+    mesh = make_mesh(8)
+    batch = shard_batch(mesh, batch)
+    tx = build_optimizer()
+    ts = TrainState(sp, sst, tx.init(sp), _np.int32(0))
+    step = make_kd_train_step(kd, tx, mesh, donate=False)
+    ts, report = step(ts, tp, tst, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(report["loss"]))
+    assert int(ts.step) == 1
