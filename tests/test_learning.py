@@ -1,0 +1,100 @@
+"""Convergence integration test: the full pipeline must LEARN.
+
+A corpus whose mels are a deterministic function of phoneme identity
+(signature + intra-phoneme ramp) is fit end-to-end; the AR decode with
+ground-truth durations must reconstruct the targets far better than the
+predict-the-mean floor.  This catches silent learning-breakers (wrong
+masks, misrouted gradients, teacher-forcing misalignment) that
+loss-goes-down smoke tests miss.
+"""
+
+import json
+import os
+
+import numpy as np
+import jax
+
+from fcl_taco2_tpu.data import load_manifest
+from fcl_taco2_tpu.data.manifest import load_features
+from fcl_taco2_tpu.infer import Synthesizer
+from fcl_taco2_tpu.infer.metrics import mel_l1
+from fcl_taco2_tpu.models import Tacotron2SA
+from fcl_taco2_tpu.parallel.mesh import make_mesh
+from fcl_taco2_tpu.train.loop import TrainConfig, Trainer
+
+from helpers import tiny_config
+
+V, ODIM = 6, 20
+
+
+def write_learnable_corpus(root, n_utts=10, seed=7):
+    rng = np.random.default_rng(seed)
+    sig = rng.normal(size=(V + 1, ODIM)).astype(np.float32)
+    ramp = rng.normal(size=(V + 1, ODIM)).astype(np.float32) * 0.3
+    feat = os.path.join(root, "feats")
+    os.makedirs(feat, exist_ok=True)
+    js = {}
+    for i in range(n_utts):
+        uttid = f"u{i:02d}"
+        T = int(rng.integers(3, 7))
+        toks = rng.integers(1, V + 1, T)
+        durs = rng.integers(3, 9, T)
+        mel = np.concatenate([
+            sig[t] + ramp[t] * (np.arange(d) / d)[:, None]
+            for t, d in zip(toks, durs)], 0).astype(np.float32)
+        f0 = (0.3 * toks.astype(np.float32) - 1.0).reshape(-1, 1)
+        en = (0.2 * toks.astype(np.float32) - 0.5).reshape(-1, 1)
+        p = {k: os.path.join(feat, f"{uttid}_{k}.npy")
+             for k in ("mel", "dur", "f0", "en")}
+        np.save(p["mel"], mel)
+        np.save(p["dur"], durs.reshape(-1, 1).astype(np.float64))
+        np.save(p["f0"], f0)
+        np.save(p["en"], en)
+        js[uttid] = {
+            "input": [
+                {"feat": p["mel"], "filetype": "npy", "name": "input1",
+                 "shape": [int(mel.shape[0]), ODIM]},
+                {"feat": p["dur"], "filetype": "npy", "name": "input2",
+                 "shape": [T, 1]},
+                {"feat": p["f0"], "filetype": "npy", "name": "input3",
+                 "shape": [T, 1]},
+                {"feat": p["en"], "filetype": "npy", "name": "input4",
+                 "shape": [T, 1]},
+            ],
+            "output": [{"name": "target1", "shape": [T, V + 1],
+                        "tokenid": " ".join(map(str, toks))}],
+            "utt2spk": "LJ"}
+    path = os.path.join(root, "data.json")
+    with open(path, "w") as f:
+        json.dump({"utts": js}, f)
+    return path
+
+
+def test_pipeline_learns_to_reconstruct(tmp_path):
+    path = write_learnable_corpus(str(tmp_path))
+    utts = load_manifest(path)
+    cfg = tiny_config(idim=V + 1, odim=ODIM, max_dur=10, eunits=32,
+                      embed_dim=32, econv_chans=32, dunits=64,
+                      prenet_units=24, postnet_chans=24, dropout_rate=0.1,
+                      zoneout_rate=0.05)
+    model = Tacotron2SA(cfg)
+    tcfg = TrainConfig(exp_dir=os.path.join(str(tmp_path), "exp"),
+                       epochs=80, batch_size=5, lr=2e-3,
+                       eval_interval_epochs=80, save_interval_epochs=80)
+    trainer = Trainer(model, tcfg, utts[:10], utts[:2], mesh=make_mesh(1))
+    ts = trainer.run()
+    entries = [json.loads(l) for l in
+               open(os.path.join(str(tmp_path), "exp", "log.jsonl"))]
+    losses = [e["main/loss"] for e in entries]
+    assert losses[-1] < losses[0] * 0.25, (losses[0], losses[-1])
+
+    synth = Synthesizer(model, ts.params, ts.model_state, batch_size=4)
+    chunk = utts[:4]
+    durs = [load_features(u)[1] for u in chunk]
+    mels, _ = synth.synth_batch([u.tokenids for u in chunk],
+                                jax.random.PRNGKey(0), durations=durs)
+    l1 = float(np.mean([mel_l1(m, load_features(u)[0])
+                        for u, m in zip(chunk, mels)]))
+    # predict-the-mean floor for these targets is ~0.8; the AR decode
+    # (with always-on prenet dropout) must do clearly better
+    assert l1 < 0.65, l1
