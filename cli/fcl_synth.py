@@ -53,11 +53,9 @@ def main(argv=None):
     exp_dir = args.model_conf or os.path.dirname(args.model)
     cfg, _ = load_model_json(exp_dir)
     model = Tacotron2SA(cfg)
-    template_p, template_s = jax.eval_shape(model.init, jax.random.PRNGKey(0))
-    template_p = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), template_p)
-    template_s = jax.tree_util.tree_map(
-        lambda s: np.zeros(s.shape, s.dtype), template_s)
+    from fcl_taco2_tpu.utils.device import zeros_like_shapes
+    template_p, template_s = zeros_like_shapes(model.init,
+                                               jax.random.PRNGKey(0))
     params, state = load_params_only(args.model, template_p, template_s)
 
     utts = load_manifest(args.json)

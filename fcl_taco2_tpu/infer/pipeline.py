@@ -40,7 +40,7 @@ class TTSPipeline:
         self.model = model
         self.pwg_cfg = pwg_cfg or PWGConfig()
         self.pwg_dtype = jnp.dtype(pwg_dtype)
-        put = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x, t))
+        from fcl_taco2_tpu.utils.device import device_put_via_jit as put
         self.params = put(params)
         self.state = put(state)
         self.pwg_params = put(pwg_params)

@@ -37,7 +37,7 @@ class Synthesizer:
         # fp32: measured on v5e, bf16-resident weights make the AR scan
         # SLOWER (4.2 vs 3.1 ms) — the compute-dtype cast inside synthesize
         # handles precision policy.
-        put = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x, t))
+        from fcl_taco2_tpu.utils.device import device_put_via_jit as put
         self.params = put(params)
         self.state = put(state)
         from fcl_taco2_tpu.utils.device import warmup_transfers

@@ -136,12 +136,13 @@ def postnet_apply(params, state, x, rng, dropout_rate, train, capture=None,
     between layers; with it, a padded batch reproduces the reference's
     exact-length batch-1 inference (finite array + zero conv padding)."""
     n = len(params["convs"])
+    new_bns = []
     for i, conv in enumerate(params["convs"]):
         rng, sub = _split(rng)
         x = conv1d(x, conv["kernel"])
         x, ns = _bn(x, params["bns"][i], state["bns"][i], train,
                     mask=seq_mask)
-        state["bns"][i] = ns  # caller passes a fresh copy
+        new_bns.append(ns)
         if i < n - 1:
             x = jnp.tanh(x)
         x = maybe_dropout(sub, x, dropout_rate, train)
@@ -149,7 +150,7 @@ def postnet_apply(params, state, x, rng, dropout_rate, train, capture=None,
             x = x * seq_mask[..., None].astype(x.dtype)
         if capture is not None:
             capture.append(x)
-    return x, state
+    return x, {"bns": new_bns}
 
 
 # --------------------------------------------------------------------------

@@ -134,10 +134,9 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
 
     before = scatter_frames(seg_out, utt_gather, utt_mask)  # (B, Lmax, odim)
     post_capture = [] if capture_kd else None
-    post_state = jax.tree_util.tree_map(lambda x: x, state["postnet"])
     correction, post_state = C.postnet_apply(
-        params["postnet"], post_state, before, k_post, cfg.dropout_rate,
-        train, capture=post_capture,
+        params["postnet"], state["postnet"], before, k_post,
+        cfg.dropout_rate, train, capture=post_capture,
         seq_mask=utt_mask if train else None)
     after = before + correction
 
@@ -198,7 +197,6 @@ def apply_postnet_inference(params, state, cfg, before, seq_mask=None):
     ``seq_mask`` keeps padded-batch numerics identical to the reference's
     exact-length batch-1 postnet (decoder_sa.py:631-633)."""
     correction, _ = C.postnet_apply(
-        params["postnet"], jax.tree_util.tree_map(lambda x: x,
-                                                  state["postnet"]),
-        before, None, cfg.dropout_rate, train=False, seq_mask=seq_mask)
+        params["postnet"], state["postnet"], before, None,
+        cfg.dropout_rate, train=False, seq_mask=seq_mask)
     return before + correction

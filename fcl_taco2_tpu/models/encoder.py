@@ -11,6 +11,7 @@ GEMMs (ops/rnn.py), packed-sequence parity via masked state updates.
 from jax import random
 
 from fcl_taco2_tpu.models import components as C
+from fcl_taco2_tpu.ops.masking import lengths_to_non_pad_mask
 from fcl_taco2_tpu.ops.rnn import bilstm
 from fcl_taco2_tpu.utils import initializers as init
 
@@ -36,13 +37,11 @@ def encoder_apply(params, state, cfg, tokens, ilens, rng, train,
     Returns (hs, new_state, kd_items) where kd_items is
     [embed, conv0, conv1, conv2, blstm] (encoder_sa_kd.py:196) or None.
     """
-    import jax.numpy as jnp
-
     x = params["embed"][tokens]  # (B, T, E); PAD row is zeros
     # valid-position mask for BN statistics (padding would dilute them
     # under fixed-shape batching)
-    seq_mask = (jnp.arange(tokens.shape[1])[None, :]
-                < ilens[:, None]) if train else None
+    seq_mask = lengths_to_non_pad_mask(
+        ilens, tokens.shape[1]) if train else None
     capture = [] if capture_kd else None
     if capture_kd:
         capture.append(x)

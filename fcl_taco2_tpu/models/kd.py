@@ -20,6 +20,7 @@ pre-projection activations — same math as projecting inside the modules
 """
 
 import jax
+import jax.numpy as jnp
 from jax import random
 
 from fcl_taco2_tpu.models.config import ModelConfig
@@ -86,8 +87,6 @@ class KDStudent:
         """Sum of masked-mean MSEs over tensor pairs, accumulated in fp32
         regardless of compute dtype (Knowledge_loss,
         …_kd_student.py:156-179)."""
-        import jax.numpy as jnp
-
         total = 0.0
         for s_item, t_item in zip(students, teachers):
             total = total + masked_mse(s_item.astype(jnp.float32),
@@ -124,7 +123,6 @@ class KDStudent:
         out_mask = lengths_to_non_pad_mask(batch.olens, Lmax)[..., None]
 
         if self.distill_output:
-            import jax.numpy as jnp
             f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
             sa, ta = f32(s_know["after_outs"]), f32(t_know["after_outs"])
             sb, tb = f32(s_know["before_outs"]), f32(t_know["before_outs"])

@@ -34,18 +34,14 @@ class KDTrainer(Trainer):
         super().__init__(_StudentShim(kd), tcfg, train_utts, val_utts,
                          mesh=mesh, cache_features=cache_features)
         # the teacher checkpoint is REQUIRED (tts_distill.py:370-375)
-        t_template, t_state_template = jax.eval_shape(
+        from fcl_taco2_tpu.utils.device import (device_put_via_jit as put,
+                                                 zeros_like_shapes)
+        t_template, t_state_template = zeros_like_shapes(
             kd.teacher.init, jax.random.PRNGKey(0))
-        import numpy as np
-        t_template = jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), t_template)
-        t_state_template = jax.tree_util.tree_map(
-            lambda s: np.zeros(s.shape, s.dtype), t_state_template)
         t_params, t_state = load_params_only(
             teacher_checkpoint, t_template, t_state_template)
         # transfer the frozen teacher ONCE (passing host numpy each step
         # would re-upload ~100MB per iteration on remote-attached TPUs)
-        put = jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x, t))
         self.teacher_params = put(t_params)
         self.teacher_state = put(t_state)
         save_model_json(tcfg.exp_dir, kd.scfg, extra={

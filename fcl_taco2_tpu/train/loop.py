@@ -6,6 +6,7 @@ validation, per-epoch snapshot + best-model snapshot, plots/log, early
 stopping on validation loss, sortagrad, resume.
 """
 
+import contextlib
 import dataclasses
 import os
 from typing import Optional
@@ -57,14 +58,6 @@ class TrainConfig:
     resume: Optional[str] = None
     profile_dir: Optional[str] = None  # capture an XLA trace of epoch 0
     fixed_shapes: bool = True  # one compile for the run (see BatchConverter)
-
-
-class _nullcontext:
-    def __enter__(self):
-        return self
-
-    def __exit__(self, *exc):
-        return False
 
 
 class Trainer:
@@ -169,7 +162,8 @@ class Trainer:
         bad_epochs = 0
         for epoch in range(start_epoch, t.epochs):
             profile = (t.profile_dir is not None and epoch == start_epoch)
-            ctx = trace(t.profile_dir) if profile else _nullcontext()
+            ctx = trace(t.profile_dir) if profile \
+                else contextlib.nullcontext()
             with ctx:
                 # metrics are fetched one step late: device_get of step i
                 # overlaps step i+1's device compute (the fetch is a ~30ms

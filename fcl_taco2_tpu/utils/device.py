@@ -12,6 +12,28 @@ import numpy as np
 _warmed = False
 
 
+def device_put_via_jit(tree):
+    """Transfer a host pytree via a jitted identity.
+
+    Executable OUTPUT buffers take the fast path on remote-device links;
+    raw jax.device_put literals can stall the relay for minutes (see
+    warmup_transfers).  Use this for one-time transfers of params/state.
+    """
+    import jax
+
+    return jax.jit(lambda t: jax.tree_util.tree_map(lambda x: x, t))(tree)
+
+
+def zeros_like_shapes(fn, *args):
+    """Host-numpy zero templates matching fn's output pytree (for
+    flax.serialization.from_state_dict restore targets)."""
+    import jax
+
+    shapes = jax.eval_shape(fn, *args)
+    return jax.tree_util.tree_map(
+        lambda s: np.zeros(s.shape, s.dtype), shapes)
+
+
 def warmup_transfers():
     global _warmed
     if _warmed:
