@@ -57,3 +57,38 @@ def test_receptive_field_positive_and_reasonable():
     cfg = PWGConfig()
     rf = pwg_receptive_field(cfg)
     assert 1000 < rf < 50000  # ~6k conv + upsample halo, in samples
+
+
+def test_fcl_tts_cli(tmp_path):
+    """Single-command end-to-end TTS over a manifest."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    from cli import fcl_tts
+    from test_data_pipeline import write_corpus
+    from fcl_taco2_tpu.models import Tacotron2SA
+    from fcl_taco2_tpu.train.checkpoint import (save_checkpoint,
+                                                save_model_json)
+    from fcl_taco2_tpu.train.optim import build_optimizer
+    from fcl_taco2_tpu.train.state import TrainState
+    import numpy as np
+
+    corpus = write_corpus(str(tmp_path), n_utts=3, odim=8)
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tx = build_optimizer()
+    exp = os.path.join(str(tmp_path), "exp")
+    save_model_json(exp, cfg)
+    ckpt = os.path.join(exp, "model.loss.best")
+    save_checkpoint(ckpt, TrainState(params, state, tx.init(params),
+                                     np.int32(0)))
+    out = os.path.join(str(tmp_path), "wavs")
+    fcl_tts.main(["--model", ckpt, "--json", corpus, "--outdir", out,
+                  "--batch-size", "2"])
+    import wave
+    files = sorted(os.listdir(out))
+    assert len(files) == 3
+    with wave.open(os.path.join(out, files[0])) as f:
+        assert f.getframerate() == 22050
