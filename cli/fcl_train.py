@@ -172,6 +172,15 @@ def main(argv=None):
     argv = argv if argv is not None else sys.argv[1:]
     args = parse_with_configs(get_parser(), argv)
 
+    import logging
+    # reference --verbose semantics (tts_train.py:395-406)
+    level = (logging.WARNING if args.verbose == 0
+             else logging.INFO if args.verbose == 1 else logging.DEBUG)
+    logging.basicConfig(
+        level=level,
+        format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: "
+               "%(message)s")
+
     from fcl_taco2_tpu.data import load_manifest
     from fcl_taco2_tpu.models import Tacotron2SA
     from fcl_taco2_tpu.train.loop import Trainer
