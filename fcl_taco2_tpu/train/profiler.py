@@ -27,6 +27,24 @@ def trace(log_dir):
         jax.profiler.stop_trace()
 
 
+def cost_analysis(fn, *args):
+    """Compiled-program cost estimate for a jittable fn (FLOPs, bytes).
+
+    The reference imports the `thop` FLOPs profiler but never invokes it
+    (tts_distill.py:50-51); XLA's own cost analysis gives the real number
+    for the compiled program."""
+    import jax
+
+    compiled = jax.jit(fn).lower(*args).compile()
+    costs = compiled.cost_analysis()
+    if isinstance(costs, list):  # some backends return one dict per program
+        costs = costs[0] if costs else {}
+    return {
+        "flops": float(costs.get("flops", -1.0)),
+        "bytes_accessed": float(costs.get("bytes accessed", -1.0)),
+    }
+
+
 class StepTimer:
     def __init__(self, window=100):
         self.window = window

@@ -35,3 +35,15 @@ def test_step_timer_summary():
     s = t.summary()
     assert set(s) == {"step_ms_p50", "step_ms_p90", "step_ms_max"}
     assert all(v >= 0 for v in s.values())
+
+
+def test_cost_analysis_reports_flops():
+    import jax
+    import jax.numpy as jnp
+    from fcl_taco2_tpu.train.profiler import cost_analysis
+
+    jax.config.update("jax_platforms", "cpu")
+    c = cost_analysis(lambda a, b: a @ b, jnp.ones((64, 32)),
+                      jnp.ones((32, 16)))
+    # 2*M*N*K = 2*64*16*32 = 65536 (allow backend slack)
+    assert c["flops"] >= 2 * 64 * 16 * 32 * 0.9
