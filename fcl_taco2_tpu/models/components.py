@@ -79,9 +79,11 @@ def prenet_apply(params, x, rng, dropout_rate):
 # --------------------------------------------------------------------------
 
 def conv_bn_stack_init(key, n_layers, in_ch, hidden_ch, out_ch, width, gain,
-                       last_is_out=False):
+                       last_is_out=False, use_bn=True):
     """n_layers of conv(width)->BN. If last_is_out, the final layer maps to
-    out_ch (postnet shape: odim->chans->...->odim, decoder_sa.py:198-263)."""
+    out_ch (postnet shape: odim->chans->...->odim, decoder_sa.py:198-263).
+    ``use_bn=False`` drops the BN blocks (encoder_sa.py:63-93,
+    decoder_sa.py:203-263 else-branches)."""
     convs, bns, bn_states = [], [], []
     for i in range(n_layers):
         key, sub = random.split(key)
@@ -91,10 +93,11 @@ def conv_bn_stack_init(key, n_layers, in_ch, hidden_ch, out_ch, width, gain,
             "kernel": init.xavier_uniform_conv(gain)(
                 sub, (width, ichans, ochans)),
         })
-        bns.append(BatchNormParams(scale=jnp.ones(ochans),
-                                   bias=jnp.zeros(ochans))._asdict())
-        bn_states.append(BatchNormState(mean=jnp.zeros(ochans),
-                                        var=jnp.ones(ochans))._asdict())
+        if use_bn:
+            bns.append(BatchNormParams(scale=jnp.ones(ochans),
+                                       bias=jnp.zeros(ochans))._asdict())
+            bn_states.append(BatchNormState(mean=jnp.zeros(ochans),
+                                            var=jnp.ones(ochans))._asdict())
     return {"convs": convs, "bns": bns}, {"bns": bn_states}
 
 
@@ -111,12 +114,14 @@ def encoder_convs_apply(params, state, x, rng, dropout_rate, train,
     collects per-layer outputs for KD (encoder_sa_kd.py:157-171);
     ``seq_mask`` (B, T) keeps BN statistics on valid positions."""
     new_states = []
+    use_bn = len(params["bns"]) > 0
     for i, conv in enumerate(params["convs"]):
         rng, sub = _split(rng)
         h = conv1d(x, conv["kernel"])
-        h, ns = _bn(h, params["bns"][i], state["bns"][i], train,
-                    mask=seq_mask)
-        new_states.append(ns)
+        if use_bn:
+            h, ns = _bn(h, params["bns"][i], state["bns"][i], train,
+                        mask=seq_mask)
+            new_states.append(ns)
         h = jax.nn.relu(h)
         h = maybe_dropout(sub, h, dropout_rate, train)
         x = (x + h) if use_residual else h
@@ -137,12 +142,14 @@ def postnet_apply(params, state, x, rng, dropout_rate, train, capture=None,
     exact-length batch-1 inference (finite array + zero conv padding)."""
     n = len(params["convs"])
     new_bns = []
+    use_bn = len(params["bns"]) > 0
     for i, conv in enumerate(params["convs"]):
         rng, sub = _split(rng)
         x = conv1d(x, conv["kernel"])
-        x, ns = _bn(x, params["bns"][i], state["bns"][i], train,
-                    mask=seq_mask)
-        new_bns.append(ns)
+        if use_bn:
+            x, ns = _bn(x, params["bns"][i], state["bns"][i], train,
+                        mask=seq_mask)
+            new_bns.append(ns)
         if i < n - 1:
             x = jnp.tanh(x)
         x = maybe_dropout(sub, x, dropout_rate, train)

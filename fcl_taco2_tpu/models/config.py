@@ -45,8 +45,10 @@ class ModelConfig:
     dropout_rate: float = 0.5
     zoneout_rate: float = 0.1
 
-    # losses
+    # losses (e2e_tts_tacotron2_sa.py:26-82: use_masking gates the mel and
+    # pitch/energy criteria; the duration loss is always masked, :560-565)
     use_masking: bool = True
+    use_weighted_masking: bool = False
 
     # duration predictor (espnet DurationPredictor wiring,
     # e2e_tts_tacotron2_sa.py:406-414)
@@ -89,9 +91,58 @@ class ModelConfig:
     # ~2x larger batches; jax.checkpoint per SURVEY HBM guidance)
     remat_decoder: bool = False
 
+    def __post_init__(self):
+        """Every field is either honored or loudly rejected — a config must
+        never lie (silently-ignored knobs were a round-1 defect)."""
+        if self.elayers < 0 or self.econv_layers < 0:
+            raise ValueError("elayers/econv_layers must be >= 0")
+        if self.elayers > 0 and self.eunits % 2 != 0:
+            raise ValueError("eunits must be even (eunits//2 per direction, "
+                             "encoder_sa.py:96-99)")
+        if self.elayers == 0 and self.econv_layers == 0:
+            raise ValueError("encoder needs at least convs or a BiLSTM")
+        if self.dlayers < 1:
+            raise ValueError("dlayers must be >= 1 (decoder_sa.py:360)")
+        if self.reduction_factor < 1:
+            raise ValueError("reduction_factor must be >= 1")
+        if self.max_dur % self.reduction_factor != 0:
+            raise ValueError(
+                f"max_dur ({self.max_dur}) must be divisible by "
+                f"reduction_factor ({self.reduction_factor}): the decoder "
+                "emits reduction_factor frames per step over a static "
+                "max_dur frame bucket")
+        if self.prenet_layers < 0 or self.postnet_layers < 0:
+            raise ValueError("prenet_layers/postnet_layers must be >= 0")
+        if self.use_weighted_masking:
+            raise NotImplementedError(
+                "use_weighted_masking is not supported (reference default "
+                "False, tts_train.py; use use_masking instead)")
+        if self.use_masking and self.use_weighted_masking:
+            raise ValueError("use_masking and use_weighted_masking are "
+                             "mutually exclusive (e2e_tts_tacotron2_sa.py:39)")
+        if self.compute_dtype not in ("float32", "bfloat16"):
+            raise ValueError(f"unsupported compute_dtype {self.compute_dtype}")
+        if self.spk_embed_dim < 0:
+            raise ValueError("spk_embed_dim must be >= 0")
+
+    @property
+    def enc_odim(self):
+        """Encoder output width: eunits after the BiLSTM; with elayers=0 the
+        conv (or embedding) output passes straight through
+        (encoder_sa.py:96-99, 144-145)."""
+        if self.elayers > 0:
+            return self.eunits
+        return self.econv_chans if self.econv_layers > 0 else self.embed_dim
+
     @property
     def dec_idim(self):
-        return self.eunits + self.spk_embed_dim
+        return self.enc_odim + self.spk_embed_dim
+
+    @property
+    def effective_prenet_units(self):
+        """prenet_layers=0 feeds the raw previous frame to the LSTM
+        (decoder_sa.py:358, 497: prenet_units falls back to odim)."""
+        return self.prenet_units if self.prenet_layers > 0 else self.odim
 
     def replace(self, **kw):
         return dataclasses.replace(self, **kw)

@@ -4,19 +4,35 @@ Reference: /root/reference/nets/modules/decoder_sa.py:289-639 (plain) and
 decoder_sa_kd.py:523-800 (KD captures).  Topology per step:
 
     x_t = concat(enc_vec, prenet(prev_frame), position_t)     (:495-499)
-    z0, c0 = ZoneOutLSTM0(x_t);  z1, c1 = ZoneOutLSTM1(z0)    (:500-504)
-    out_t = feat_out(concat(z1, enc_vec))                      (:505-511)
+    z_0 = ZoneOutLSTM_0(x_t); z_i = ZoneOutLSTM_i(z_{i-1})    (:500-504)
+    out_t = feat_out(concat(z_last, enc_vec))                  (:505-511)
+
+Config generality (decoder_sa.py ctor :303-398): ``dlayers`` stacked
+zoneout-LSTM cells, ``prenet_layers=0`` feeds the raw previous frame,
+``postnet_layers=0`` skips the postnet, ``use_batch_norm=False`` drops BN
+from the postnet, and ``reduction_factor=r>1`` emits r frames per decoder
+step from an odim*r feat_out (:398) with the teacher-forcing input thinned
+to every r-th frame (:488-489).
 
 TPU-first redesign of the hot loop (SURVEY.md hot loop #1):
 
 - Teacher forcing means prev_frame is data, so the prenet runs ONCE over all
-  (P, D) frames as one big GEMM before the scan; the scan body carries only
-  LSTM state and runs 5 MXU matmuls over the full phoneme batch P.
+  (P, S) step inputs as one big GEMM before the scan; the scan body carries
+  only LSTM state and runs the recurrent MXU matmuls over the full phoneme
+  batch P.
 - AR inference is a true recurrence: prenet stays in the scan, outputs feed
-  back; still one lax.scan of static length D (frames beyond each phoneme's
+  back; still one lax.scan of static length S (frames beyond each phoneme's
   duration are masked out afterwards).
 - Frame regrouping back to utterance-major is an index gather
   (ops/regroup.scatter_frames), not host slicing.
+
+reduction_factor semantics note: the reference indexes the frame-resolution
+position ramp by the *step* index (decoder_sa.py:497-498, 596-597), i.e.
+``position[:, :steps]`` — identical to ours at r=1 and reproduced verbatim
+for r>1.  At inference the reference multiplies durations by r
+(decoder_sa.py:573, 627), making a model emit r× the frames it was trained
+on; here durations stay in frames on both paths so train and inference
+agree (documented deviation).
 """
 
 import jax
@@ -30,51 +46,83 @@ from fcl_taco2_tpu.utils import initializers as init
 
 
 def decoder_init(key, cfg):
-    ks = random.split(key, 5)
+    k_pre, k_lstm, k_post, k_feat = random.split(key, 4)
     idim = cfg.dec_idim
-    lstm0_in = idim + cfg.prenet_units + (1 if cfg.append_position else 0)
+    lstm0_in = (idim + cfg.effective_prenet_units
+                + (1 if cfg.append_position else 0))
     feat_in = (idim + cfg.dunits) if cfg.use_concate else cfg.dunits
-    postnet_params, postnet_state = C.conv_bn_stack_init(
-        ks[3], cfg.postnet_layers, cfg.odim, cfg.postnet_chans, cfg.odim,
-        cfg.postnet_filts, init.TANH_GAIN, last_is_out=True)
     params = {
-        "prenet": C.prenet_init(ks[0], cfg.odim, cfg.prenet_layers,
-                                cfg.prenet_units),
-        "lstm0": C.lstm_params_init(ks[1], lstm0_in, cfg.dunits),
-        "lstm1": C.lstm_params_init(ks[2], cfg.dunits, cfg.dunits),
-        "postnet": postnet_params,
         # feat_out is bias-free (decoder_sa.py:398)
-        "feat_out": {"w": init.linear_weight(ks[4], (feat_in,
-                                                     cfg.odim
-                                                     * cfg.reduction_factor))},
+        "feat_out": {"w": init.linear_weight(
+            k_feat, (feat_in, cfg.odim * cfg.reduction_factor))},
     }
-    return params, {"postnet": postnet_state}
+    state = {}
+    if cfg.prenet_layers > 0:
+        params["prenet"] = C.prenet_init(k_pre, cfg.odim, cfg.prenet_layers,
+                                         cfg.prenet_units)
+    for i in range(cfg.dlayers):
+        k_lstm, sub = random.split(k_lstm)
+        in_dim = lstm0_in if i == 0 else cfg.dunits
+        params[f"lstm{i}"] = C.lstm_params_init(sub, in_dim, cfg.dunits)
+    if cfg.postnet_layers > 0:
+        postnet_params, postnet_state = C.conv_bn_stack_init(
+            k_post, cfg.postnet_layers, cfg.odim, cfg.postnet_chans,
+            cfg.odim, cfg.postnet_filts, init.TANH_GAIN, last_is_out=True,
+            use_bn=cfg.use_batch_norm)
+        params["postnet"] = postnet_params
+        state["postnet"] = postnet_state
+    return params, state
 
 
 def _lstm_stack_step(params, cfg, x_t, carry, zo_key, train):
-    """One step of the 2-layer zoneout-LSTM stack + feat_out."""
-    h0, c0, h1, c1 = carry
-    if train and cfg.zoneout_rate > 0.0:
-        kh0, kc0, kh1, kc1 = random.split(zo_key, 4)
-    else:
-        kh0 = kc0 = kh1 = kc1 = None
-    nh0, nc0 = lstm_cell(C.as_lstm(params["lstm0"]), x_t, h0, c0)
-    nh0 = zoneout(h0, nh0, cfg.zoneout_rate, train=train, rng=kh0)
-    nc0 = zoneout(c0, nc0, cfg.zoneout_rate, train=train, rng=kc0)
-    nh1, nc1 = lstm_cell(C.as_lstm(params["lstm1"]), nh0, h1, c1)
-    nh1 = zoneout(h1, nh1, cfg.zoneout_rate, train=train, rng=kh1)
-    nc1 = zoneout(c1, nc1, cfg.zoneout_rate, train=train, rng=kc1)
-    return (nh0, nc0, nh1, nc1)
+    """One step of the dlayers-deep zoneout-LSTM stack.
+
+    ``carry`` is a flat tuple (h0, c0, h1, c1, ...); layer i>0 consumes
+    h_{i-1} (decoder_sa.py:500-504)."""
+    use_zo = train and cfg.zoneout_rate > 0.0
+    zo_keys = random.split(zo_key, 2 * cfg.dlayers) if use_zo else None
+    new_carry = []
+    inp = x_t
+    for i in range(cfg.dlayers):
+        h, c = carry[2 * i], carry[2 * i + 1]
+        nh, nc = lstm_cell(C.as_lstm(params[f"lstm{i}"]), inp, h, c)
+        kh = zo_keys[2 * i] if use_zo else None
+        kc = zo_keys[2 * i + 1] if use_zo else None
+        nh = zoneout(h, nh, cfg.zoneout_rate, train=train, rng=kh)
+        nc = zoneout(c, nc, cfg.zoneout_rate, train=train, rng=kc)
+        new_carry += [nh, nc]
+        inp = nh
+    return tuple(new_carry)
 
 
-def _feat_out(params, cfg, z1, enc_seg):
-    zcs = jnp.concatenate([z1, enc_seg], axis=-1) if cfg.use_concate else z1
+def _feat_out(params, cfg, z_last, enc_seg):
+    zcs = jnp.concatenate([z_last, enc_seg], axis=-1) if cfg.use_concate \
+        else z_last
     return zcs @ params["feat_out"]["w"]  # (P, odim*r)
 
 
-def _zero_carry(P, H, dtype):
-    z = jnp.zeros((P, H), dtype)
-    return (z, z, z, z)
+def _zero_carry(P, cfg, dtype):
+    z = jnp.zeros((P, cfg.dunits), dtype)
+    return tuple(z for _ in range(2 * cfg.dlayers))
+
+
+def _prenet_or_identity(params, cfg, x, rng):
+    if cfg.prenet_layers == 0:  # decoder_sa.py:497: prenet_out = prev_out
+        return x
+    return C.prenet_apply(params["prenet"], x, rng, cfg.dropout_rate)
+
+
+def _unfold_r(outs_steps, P, S, odim, r):
+    """(S, P, odim*r) step outputs -> (P, S*r, odim) frames.
+
+    torch layout parity: feat_out(z).view(P, odim, r) then concat over the
+    step axis and transpose (decoder_sa.py:511-517), so flat element
+    [o*r + j] is mel bin o of sub-frame j."""
+    seg = jnp.swapaxes(outs_steps, 0, 1)  # (P, S, odim*r)
+    if r == 1:
+        return seg
+    seg = seg.reshape(P, S, odim, r)
+    return jnp.swapaxes(seg, 2, 3).reshape(P, S * r, odim)
 
 
 def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
@@ -95,19 +143,29 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
         (decoder_sa_kd.py:627-702) or None.
     """
     P, D, odim = seg_targets.shape
+    r = cfg.reduction_factor
+    S = D // r  # decoder steps (== D when r == 1)
     dtype = enc_seg.dtype
     k_pre, k_zo, k_post = random.split(rng, 3)
+    if capture_kd and (cfg.dlayers != 2 or r != 1 or cfg.prenet_layers == 0
+                       or cfg.postnet_layers == 0):
+        raise ValueError(
+            "capture_kd requires the reference KD topology: dlayers=2, "
+            "reduction_factor=1, prenet and postnet present "
+            "(decoder_sa_kd.py:627-702)")
 
-    # teacher forcing input at step t is target frame t-1 (zeros at t=0)
+    # teacher-forcing input at step t is target frame t*r-1 (zeros at t=0);
+    # r>1 thins the targets to every r-th frame (decoder_sa.py:488-489)
+    thinned = seg_targets if r == 1 else seg_targets[:, r - 1::r]
     prev = jnp.concatenate(
-        [jnp.zeros((P, 1, odim), dtype), seg_targets[:, :-1]], axis=1)
-    # hoisted prenet over all steps: one (P*D, odim) GEMM chain
-    prenet_all = C.prenet_apply(params["prenet"], prev.reshape(P * D, odim),
-                                k_pre, cfg.dropout_rate)
-    prenet_all = prenet_all.reshape(P, D, -1)
+        [jnp.zeros((P, 1, odim), dtype), thinned[:, :-1]], axis=1)
+    # hoisted prenet over all steps: one (P*S, odim) GEMM chain
+    prenet_all = _prenet_or_identity(params, cfg,
+                                     prev.reshape(P * S, odim), k_pre)
+    prenet_all = prenet_all.reshape(P, S, -1)
 
-    zo_keys = random.split(k_zo, D) if (train and cfg.zoneout_rate > 0) else \
-        jnp.zeros((D, 2), jnp.uint32)
+    zo_keys = random.split(k_zo, S) if (train and cfg.zoneout_rate > 0) else \
+        jnp.zeros((S, 2), jnp.uint32)
 
     def step(carry, inp):
         prenet_t, pos_t, zo_key = inp
@@ -116,7 +174,7 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
             parts.append(pos_t[:, None])
         x_t = jnp.concatenate(parts, axis=-1)
         new_carry = _lstm_stack_step(params, cfg, x_t, carry, zo_key, train)
-        out_t = _feat_out(params, cfg, new_carry[2], enc_seg)
+        out_t = _feat_out(params, cfg, new_carry[-2], enc_seg)
         ys = (out_t, new_carry[0], new_carry[2]) if capture_kd else out_t
         return new_carry, ys
 
@@ -126,19 +184,28 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
         # and the default's optimization barriers inhibit TPU fusion
         step = jax.checkpoint(step, prevent_cse=False)
 
-    xs = (jnp.swapaxes(prenet_all, 0, 1), position.T, zo_keys)
-    _, outs = lax.scan(step, _zero_carry(P, cfg.dunits, dtype), xs)
+    # step positions: the reference indexes the frame ramp by step index
+    # (decoder_sa.py:497-498); identical to per-frame positions at r=1
+    pos_steps = position[:, :S]
+    xs = (jnp.swapaxes(prenet_all, 0, 1), pos_steps.T, zo_keys)
+    _, outs = lax.scan(step, _zero_carry(P, cfg, dtype), xs)
     if capture_kd:
         outs, z0s, z1s = outs
-    seg_out = jnp.swapaxes(outs, 0, 1)  # (P, D, odim)
+    seg_out = _unfold_r(outs, P, S, odim, r)  # (P, D, odim)
 
     before = scatter_frames(seg_out, utt_gather, utt_mask)  # (B, Lmax, odim)
-    post_capture = [] if capture_kd else None
-    correction, post_state = C.postnet_apply(
-        params["postnet"], state["postnet"], before, k_post,
-        cfg.dropout_rate, train, capture=post_capture,
-        seq_mask=utt_mask if train else None)
-    after = before + correction
+    if cfg.postnet_layers > 0:
+        post_capture = [] if capture_kd else None
+        correction, post_state = C.postnet_apply(
+            params["postnet"], state["postnet"], before, k_post,
+            cfg.dropout_rate, train, capture=post_capture,
+            seq_mask=utt_mask if train else None)
+        after = before + correction
+        new_state = {"postnet": post_state}
+    else:  # decoder_sa.py:393, 530-533: postnet is optional
+        post_capture = []
+        after = before
+        new_state = {}
 
     kd = None
     if capture_kd:
@@ -152,7 +219,7 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
                                     utt_mask),
             "postnet": post_capture,
         }
-    return after, before, {"postnet": post_state}, kd
+    return after, before, new_state, kd
 
 
 def decoder_inference(params, state, cfg, enc_seg, seg_dur, position,
@@ -161,33 +228,39 @@ def decoder_inference(params, state, cfg, enc_seg, seg_dur, position,
 
     Reference decoder_sa.py:544-639: AR loop feeding back own outputs;
     prenet dropout stays ACTIVE (stochastic inference, decoder_sa.py:109-112).
+    With r>1 each step emits r frames and the LAST sub-frame feeds back
+    (decoder_sa.py:612-617).
 
     Returns seg_out (P, D, odim) BEFORE postnet regrouping; the caller
     regroups (device-side cumsum scatter) and applies the postnet, because
     postnet BN runs on the utterance-major sequence.
     """
     P, D = frame_mask.shape
+    r = cfg.reduction_factor
+    S = D // r
     dtype = enc_seg.dtype
     odim = cfg.odim
-    pre_keys = random.split(rng, D)
+    pre_keys = random.split(rng, S)
 
     def step(carry, inp):
         pos_t, k_pre = inp
         lstm_carry, prev_out = carry
-        prenet_t = C.prenet_apply(params["prenet"], prev_out, k_pre,
-                                  cfg.dropout_rate)
+        prenet_t = _prenet_or_identity(params, cfg, prev_out, k_pre)
         parts = [enc_seg, prenet_t]
         if cfg.append_position:
             parts.append(pos_t[:, None])
         x_t = jnp.concatenate(parts, axis=-1)
         new_carry = _lstm_stack_step(params, cfg, x_t, lstm_carry, None,
                                      train=False)
-        out_t = _feat_out(params, cfg, new_carry[2], enc_seg)
-        return (new_carry, out_t), out_t
+        out_t = _feat_out(params, cfg, new_carry[-2], enc_seg)
+        # AR feedback: last sub-frame of the group (decoder_sa.py:617)
+        prev = out_t if r == 1 else out_t.reshape(P, odim, r)[..., -1]
+        return (new_carry, prev), out_t
 
-    carry0 = (_zero_carry(P, cfg.dunits, dtype), jnp.zeros((P, odim), dtype))
-    _, outs = lax.scan(step, carry0, (position.T, pre_keys))
-    seg_out = jnp.swapaxes(outs, 0, 1)  # (P, D, odim)
+    carry0 = (_zero_carry(P, cfg, dtype), jnp.zeros((P, odim), dtype))
+    pos_steps = position[:, :S]
+    _, outs = lax.scan(step, carry0, (pos_steps.T, pre_keys))
+    seg_out = _unfold_r(outs, P, S, odim, r)  # (P, D, odim)
     return seg_out * frame_mask[..., None].astype(dtype)
 
 
@@ -196,6 +269,8 @@ def apply_postnet_inference(params, state, cfg, before, seq_mask=None):
 
     ``seq_mask`` keeps padded-batch numerics identical to the reference's
     exact-length batch-1 postnet (decoder_sa.py:631-633)."""
+    if cfg.postnet_layers == 0:
+        return before
     correction, _ = C.postnet_apply(
         params["postnet"], state["postnet"], before, None,
         cfg.dropout_rate, train=False, seq_mask=seq_mask)

@@ -44,6 +44,20 @@ class KDStudent:
     def __init__(self, student_cfg: ModelConfig, teacher_cfg: ModelConfig,
                  share_proj=True, distill_output=True, distill_encoder=True,
                  distill_decoder=True, distill_prosody=True):
+        for name, cfg in (("student", student_cfg), ("teacher", teacher_cfg)):
+            if (cfg.elayers != 1 or cfg.dlayers != 2
+                    or cfg.reduction_factor != 1 or cfg.prenet_layers == 0
+                    or cfg.postnet_layers == 0 or cfg.econv_layers == 0):
+                raise ValueError(
+                    f"KD requires the reference KD topology for the {name} "
+                    "(elayers=1, dlayers=2, reduction_factor=1, convs, "
+                    "prenet and postnet present): the KD modules hard-code "
+                    "these captures (encoder_sa_kd.py:144-197, "
+                    "decoder_sa_kd.py:627-702)")
+        if (student_cfg.econv_layers != teacher_cfg.econv_layers
+                or student_cfg.postnet_layers != teacher_cfg.postnet_layers):
+            raise ValueError("KD requires matching encoder-conv and postnet "
+                             "depths between student and teacher")
         self.student = Tacotron2SA(student_cfg)
         self.teacher = Tacotron2SA(teacher_cfg)
         self.scfg = student_cfg
@@ -60,22 +74,22 @@ class KDStudent:
         k_student, k_proj = random.split(key)
         params, state = self.student.init(k_student)
         s, t = self.scfg, self.tcfg
-        ks = random.split(k_proj, 14)
         n_convs = 1 if self.share_proj else s.econv_layers
         n_lstm = 1 if self.share_proj else 2
         n_post = 1 if self.share_proj else s.postnet_layers - 1
+        ks = iter(random.split(k_proj, 5 + n_convs + n_lstm + n_post))
         proj = {
-            "embed": _proj_init(ks[0], s.embed_dim, t.embed_dim),
-            "convs": [_proj_init(ks[1 + i], s.econv_chans, t.econv_chans)
-                      for i in range(n_convs)],
-            "blstm": _proj_init(ks[4], s.eunits, t.eunits),
-            "prenet": _proj_init(ks[5], s.prenet_units, t.prenet_units),
-            "lstm": [_proj_init(ks[6 + i], s.dunits, t.dunits)
-                     for i in range(n_lstm)],
-            "post": [_proj_init(ks[8 + i], s.postnet_chans, t.postnet_chans)
-                     for i in range(n_post)],
-            "pemb": _proj_init(ks[12], s.eunits, t.eunits),
-            "eemb": _proj_init(ks[13], s.eunits, t.eunits),
+            "embed": _proj_init(next(ks), s.embed_dim, t.embed_dim),
+            "convs": [_proj_init(next(ks), s.econv_chans, t.econv_chans)
+                      for _ in range(n_convs)],
+            "blstm": _proj_init(next(ks), s.eunits, t.eunits),
+            "prenet": _proj_init(next(ks), s.prenet_units, t.prenet_units),
+            "lstm": [_proj_init(next(ks), s.dunits, t.dunits)
+                     for _ in range(n_lstm)],
+            "post": [_proj_init(next(ks), s.postnet_chans, t.postnet_chans)
+                     for _ in range(n_post)],
+            "pemb": _proj_init(next(ks), s.eunits, t.eunits),
+            "eemb": _proj_init(next(ks), s.eunits, t.eunits),
         }
         params["kd_proj"] = proj
         return params, state

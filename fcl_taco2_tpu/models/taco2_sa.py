@@ -159,6 +159,10 @@ class Tacotron2SA:
         (l1 + mse + duration + pitch + energy, all masked means).
         """
         cfg = self.cfg
+        if capture_kd and cfg.elayers < 1:
+            raise ValueError("capture_kd requires elayers >= 1 (the KD "
+                             "encoder captures the BiLSTM output, "
+                             "encoder_sa_kd.py:196)")
         dtype = jnp.dtype(cfg.compute_dtype)
         if dtype != jnp.float32:
             params = _cast_floats(params, dtype)
@@ -189,22 +193,37 @@ class Tacotron2SA:
         # losses always in fp32 (mixed-precision safe accumulation)
         f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
         mel32 = f32(batch.mel)
-        out_mask = batch.utt_mask[..., None]
+        if cfg.use_masking:
+            out_mask = batch.utt_mask[..., None]
+            if cfg.reduction_factor > 1:
+                # reference drops the mod-r ground-truth tail before the mel
+                # loss (e2e_tts_tacotron2_sa.py:595-599); as a mask: frames
+                # past olens - olens % r don't count
+                olens_r = batch.olens - batch.olens % cfg.reduction_factor
+                out_mask = out_mask & lengths_to_non_pad_mask(
+                    olens_r, batch.mel.shape[1])[..., None]
+        else:
+            # use_masking=False: plain means over the padded buffers
+            # (Tacotron2Loss with reduction='mean', :44-60). NOTE this is
+            # padding-sensitive by definition — here the pad extent is the
+            # static Lmax bucket rather than the reference's per-batch max.
+            out_mask = None
         l1 = masked_l1(f32(after), mel32, out_mask) + \
             masked_l1(f32(before), mel32, out_mask)
         mse = masked_mse(f32(after), mel32, out_mask) + \
             masked_mse(f32(before), mel32, out_mask)
         in_mask = ~pad_mask
+        # duration loss is ALWAYS masked, independent of use_masking
+        # (e2e_tts_tacotron2_sa.py:560-565)
         dur = C.duration_loss(f32(d_outs), batch.durations, in_mask,
                               offset=cfg.duration_predictor_offset)
         loss = l1 + mse + dur
         report = {"l1_loss": l1, "mse_loss": mse, "dur_loss": dur}
 
         if cfg.use_fe_condition:
-            pitch = masked_mse(f32(p_outs), f32(batch.f0),
-                               in_mask[..., None])
-            energy = masked_mse(f32(e_outs), f32(batch.energy),
-                                in_mask[..., None])
+            fe_mask = in_mask[..., None] if cfg.use_masking else None
+            pitch = masked_mse(f32(p_outs), f32(batch.f0), fe_mask)
+            energy = masked_mse(f32(e_outs), f32(batch.energy), fe_mask)
             loss = loss + pitch + energy  # prosody_weight 1.0 (:612-613)
             report["pitch_loss"] = pitch
             report["energy_loss"] = energy
@@ -316,7 +335,8 @@ class Tacotron2SA:
         # the fused kernel hard-codes the reference topology: 2 prenet
         # layers, appended position column, enc-concat feat_out, 2 LSTMs
         pallas_compatible = (cfg.prenet_layers == 2 and cfg.append_position
-                             and cfg.use_concate and cfg.dlayers == 2)
+                             and cfg.use_concate and cfg.dlayers == 2
+                             and cfg.reduction_factor == 1)
         if decoder_backend == "auto":
             from fcl_taco2_tpu.ops.decoder_pallas import fits_vmem
             use_pallas = (jax.default_backend() == "tpu"
@@ -326,7 +346,8 @@ class Tacotron2SA:
             if use_pallas and not pallas_compatible:
                 raise ValueError(
                     "decoder_backend='pallas' requires prenet_layers=2, "
-                    "append_position, use_concate and dlayers=2")
+                    "append_position, use_concate, dlayers=2 and "
+                    "reduction_factor=1")
         if use_pallas:
             # fused Pallas AR loop: decoder weights stay resident in VMEM
             # across all D steps (ops/decoder_pallas.py; 2-2.7x vs scan

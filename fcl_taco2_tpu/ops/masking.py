@@ -36,11 +36,16 @@ def masked_mean(values, mask, eps=0.0):
 
 
 def masked_l1(pred, target, mask):
-    """Masked-mean L1, reference Tacotron2Loss l1_criterion semantics."""
-    return masked_mean(jnp.abs(pred - target), mask)
+    """Masked-mean L1, reference Tacotron2Loss l1_criterion semantics.
+    ``mask=None`` is the use_masking=False path: a plain mean over the
+    padded buffer (torch L1Loss(reduction='mean'))."""
+    err = jnp.abs(pred - target)
+    return jnp.mean(err) if mask is None else masked_mean(err, mask)
 
 
 def masked_mse(pred, target, mask):
-    """Masked-mean MSE, reference Tacotron2Loss mse_criterion semantics."""
+    """Masked-mean MSE, reference Tacotron2Loss mse_criterion semantics.
+    ``mask=None`` = unmasked mean (use_masking=False)."""
     diff = pred - target
-    return masked_mean(diff * diff, mask)
+    err = diff * diff
+    return jnp.mean(err) if mask is None else masked_mean(err, mask)

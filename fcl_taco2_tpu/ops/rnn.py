@@ -137,3 +137,16 @@ def bilstm(params_fwd: LSTMParams, params_bwd: LSTMParams, xs, lengths):
     out_f, _ = lstm_scan(params_fwd, xs, lengths, reverse=False)
     out_b, _ = lstm_scan(params_bwd, xs, lengths, reverse=True)
     return jnp.concatenate([out_f, out_b], axis=-1)
+
+
+def bilstm_stack(layers, xs, lengths):
+    """Stacked bidirectional LSTM (torch ``nn.LSTM(..., num_layers=elayers,
+    bidirectional=True)``, encoder_sa.py:96-99): layer l>0 consumes the
+    concatenated fwd/bwd outputs of layer l-1.
+
+    Args:
+        layers: sequence of (params_fwd, params_bwd) LSTMParams pairs.
+    """
+    for params_fwd, params_bwd in layers:
+        xs = bilstm(params_fwd, params_bwd, xs, lengths)
+    return xs

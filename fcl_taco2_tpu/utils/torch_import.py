@@ -7,16 +7,18 @@ nets/teacher_training/e2e_tts_tacotron2_sa.py:
 
     enc.embed.weight                         (V, E)
     enc.convs.{i}.0.weight                   conv (Cout, Cin, W), no bias
-    enc.convs.{i}.1.{weight,bias,running_mean,running_var}   BN
-    enc.blstm.{weight_ih_l0[,_reverse],...}
+    enc.convs.{i}.1.{weight,bias,running_mean,running_var}   BN (if used)
+    enc.blstm.{weight_ih_l{k}[,_reverse],...}     k in range(elayers)
     duration_predictor.conv.{i}.{0,2}.*      conv + LayerNorm (espnet)
     duration_predictor.linear.{weight,bias}
     pitch_predictor.conv... / energy_predictor.conv...
     pitch_embed.0.{weight,bias} / energy_embed.0.*
     dec.prenet.prenet.{i}.0.{weight,bias}
-    dec.lstm.{i}.cell.{weight_ih,weight_hh,bias_ih,bias_hh}  (ZoneOutCell)
+    dec.lstm.{i}.cell.{weight_ih,weight_hh,bias_ih,bias_hh}  (ZoneOutCell;
+        zoneout_rate=0 stores the bare LSTMCell without the .cell prefix,
+        decoder_sa.py:366-369)
     dec.feat_out.weight
-    dec.postnet.postnet.{i}.{0,1}.*          conv (no bias) + BN
+    dec.postnet.postnet.{i}.{0,1}.*          conv (no bias) + BN (if used)
 
 Transpositions: torch Linear (out,in) -> ours (in,out); torch conv
 (Cout,Cin,W) -> ours (W,Cin,Cout); LSTM (4H,in) -> (in,4H).
@@ -38,11 +40,22 @@ def _arr(sd, key):
 
 
 def _lstm(sd, prefix):
+    if f"{prefix}.cell.weight_ih" in sd:  # ZoneOutCell wrapper
+        prefix = f"{prefix}.cell"
     return {
         "wx": _lin(sd, f"{prefix}.weight_ih"),
         "wh": _lin(sd, f"{prefix}.weight_hh"),
         "bx": _arr(sd, f"{prefix}.bias_ih"),
         "bh": _arr(sd, f"{prefix}.bias_hh"),
+    }
+
+
+def _blstm_dir(sd, layer, sfx):
+    return {
+        "wx": _lin(sd, f"enc.blstm.weight_ih_l{layer}{sfx}"),
+        "wh": _lin(sd, f"enc.blstm.weight_hh_l{layer}{sfx}"),
+        "bx": _arr(sd, f"enc.blstm.bias_ih_l{layer}{sfx}"),
+        "bh": _arr(sd, f"enc.blstm.bias_hh_l{layer}{sfx}"),
     }
 
 
@@ -58,15 +71,16 @@ def _variance(sd, prefix, n_layers):
                        "b": _arr(sd, f"{prefix}.linear.bias")}}
 
 
-def _conv_bn_stack(sd, prefix, n_layers):
+def _conv_bn_stack(sd, prefix, n_layers, use_bn=True):
     convs, bns, bn_states = [], [], []
     for i in range(n_layers):
         convs.append({"kernel": _conv(sd, f"{prefix}.{i}.0.weight")})
-        bns.append({"scale": _arr(sd, f"{prefix}.{i}.1.weight"),
-                    "bias": _arr(sd, f"{prefix}.{i}.1.bias")})
-        bn_states.append({
-            "mean": _arr(sd, f"{prefix}.{i}.1.running_mean"),
-            "var": _arr(sd, f"{prefix}.{i}.1.running_var")})
+        if use_bn:
+            bns.append({"scale": _arr(sd, f"{prefix}.{i}.1.weight"),
+                        "bias": _arr(sd, f"{prefix}.{i}.1.bias")})
+            bn_states.append({
+                "mean": _arr(sd, f"{prefix}.{i}.1.running_mean"),
+                "var": _arr(sd, f"{prefix}.{i}.1.running_var")})
     return {"convs": convs, "bns": bns}, {"bns": bn_states}
 
 
@@ -76,40 +90,39 @@ def import_reference_state_dict(sd, cfg):
               np.asarray(v))
           for k, v in sd.items()}
 
-    enc_convs, enc_convs_state = _conv_bn_stack(sd, "enc.convs",
-                                                cfg.econv_layers)
-    params = {
-        "encoder": {
-            "embed": _arr(sd, "enc.embed.weight"),
-            "convs": enc_convs,
-            "blstm_fwd": {
-                "wx": _lin(sd, "enc.blstm.weight_ih_l0"),
-                "wh": _lin(sd, "enc.blstm.weight_hh_l0"),
-                "bx": _arr(sd, "enc.blstm.bias_ih_l0"),
-                "bh": _arr(sd, "enc.blstm.bias_hh_l0")},
-            "blstm_bwd": {
-                "wx": _lin(sd, "enc.blstm.weight_ih_l0_reverse"),
-                "wh": _lin(sd, "enc.blstm.weight_hh_l0_reverse"),
-                "bx": _arr(sd, "enc.blstm.bias_ih_l0_reverse"),
-                "bh": _arr(sd, "enc.blstm.bias_hh_l0_reverse")},
-        },
-        "duration_predictor": _variance(sd, "duration_predictor",
-                                        cfg.duration_predictor_layers),
-    }
-    post_convs, post_state = _conv_bn_stack(sd, "dec.postnet.postnet",
-                                            cfg.postnet_layers)
-    params["decoder"] = {
-        "prenet": {"layers": [
+    params = {"encoder": {"embed": _arr(sd, "enc.embed.weight")}}
+    state = {"encoder": {}, "decoder": {}}
+    if cfg.econv_layers > 0:
+        enc_convs, enc_convs_state = _conv_bn_stack(
+            sd, "enc.convs", cfg.econv_layers, use_bn=cfg.use_batch_norm)
+        params["encoder"]["convs"] = enc_convs
+        state["encoder"]["convs"] = enc_convs_state
+    if cfg.elayers > 0:
+        params["encoder"]["blstm_fwd"] = _blstm_dir(sd, 0, "")
+        params["encoder"]["blstm_bwd"] = _blstm_dir(sd, 0, "_reverse")
+        if cfg.elayers > 1:
+            params["encoder"]["blstm_extra"] = [
+                {"fwd": _blstm_dir(sd, k, ""),
+                 "bwd": _blstm_dir(sd, k, "_reverse")}
+                for k in range(1, cfg.elayers)]
+    params["duration_predictor"] = _variance(sd, "duration_predictor",
+                                             cfg.duration_predictor_layers)
+
+    dec = {"feat_out": {"w": _lin(sd, "dec.feat_out.weight")}}
+    if cfg.prenet_layers > 0:
+        dec["prenet"] = {"layers": [
             {"w": _lin(sd, f"dec.prenet.prenet.{i}.0.weight"),
              "b": _arr(sd, f"dec.prenet.prenet.{i}.0.bias")}
-            for i in range(cfg.prenet_layers)]},
-        "lstm0": _lstm(sd, "dec.lstm.0.cell"),
-        "lstm1": _lstm(sd, "dec.lstm.1.cell"),
-        "feat_out": {"w": _lin(sd, "dec.feat_out.weight")},
-        "postnet": post_convs,
-    }
-    state = {"encoder": {"convs": enc_convs_state},
-             "decoder": {"postnet": post_state}}
+            for i in range(cfg.prenet_layers)]}
+    for i in range(cfg.dlayers):
+        dec[f"lstm{i}"] = _lstm(sd, f"dec.lstm.{i}")
+    if cfg.postnet_layers > 0:
+        post_convs, post_state = _conv_bn_stack(
+            sd, "dec.postnet.postnet", cfg.postnet_layers,
+            use_bn=cfg.use_batch_norm)
+        dec["postnet"] = post_convs
+        state["decoder"]["postnet"] = post_state
+    params["decoder"] = dec
     if cfg.use_fe_condition:
         params["pitch_predictor"] = _variance(sd, "pitch_predictor",
                                               cfg.pitch_predictor_layers)
@@ -147,22 +160,34 @@ def export_reference_state_dict(params, state, cfg):
     def conv(key, k):
         sd[key] = np.ascontiguousarray(np.asarray(k).transpose(2, 1, 0))
 
+    def conv_bn_stack(prefix, p, st):
+        for i, c in enumerate(p["convs"]):
+            conv(f"{prefix}.{i}.0.weight", c["kernel"])
+            if cfg.use_batch_norm:
+                sd[f"{prefix}.{i}.1.weight"] = np.asarray(
+                    p["bns"][i]["scale"])
+                sd[f"{prefix}.{i}.1.bias"] = np.asarray(p["bns"][i]["bias"])
+                sd[f"{prefix}.{i}.1.running_mean"] = np.asarray(
+                    st["bns"][i]["mean"])
+                sd[f"{prefix}.{i}.1.running_var"] = np.asarray(
+                    st["bns"][i]["var"])
+
+    def blstm_dir(layer, sfx, pp):
+        lin(f"enc.blstm.weight_ih_l{layer}{sfx}", pp["wx"])
+        lin(f"enc.blstm.weight_hh_l{layer}{sfx}", pp["wh"])
+        sd[f"enc.blstm.bias_ih_l{layer}{sfx}"] = np.asarray(pp["bx"])
+        sd[f"enc.blstm.bias_hh_l{layer}{sfx}"] = np.asarray(pp["bh"])
+
     enc = params["encoder"]
     sd["enc.embed.weight"] = np.asarray(enc["embed"])
-    for i, c in enumerate(enc["convs"]["convs"]):
-        conv(f"enc.convs.{i}.0.weight", c["kernel"])
-        sd[f"enc.convs.{i}.1.weight"] = np.asarray(
-            enc["convs"]["bns"][i]["scale"])
-        sd[f"enc.convs.{i}.1.bias"] = np.asarray(
-            enc["convs"]["bns"][i]["bias"])
-        st = state["encoder"]["convs"]["bns"][i]
-        sd[f"enc.convs.{i}.1.running_mean"] = np.asarray(st["mean"])
-        sd[f"enc.convs.{i}.1.running_var"] = np.asarray(st["var"])
-    for sfx, pp in [("", enc["blstm_fwd"]), ("_reverse", enc["blstm_bwd"])]:
-        lin(f"enc.blstm.weight_ih_l0{sfx}", pp["wx"])
-        lin(f"enc.blstm.weight_hh_l0{sfx}", pp["wh"])
-        sd[f"enc.blstm.bias_ih_l0{sfx}"] = np.asarray(pp["bx"])
-        sd[f"enc.blstm.bias_hh_l0{sfx}"] = np.asarray(pp["bh"])
+    if cfg.econv_layers > 0:
+        conv_bn_stack("enc.convs", enc["convs"], state["encoder"]["convs"])
+    if cfg.elayers > 0:
+        blstm_dir(0, "", enc["blstm_fwd"])
+        blstm_dir(0, "_reverse", enc["blstm_bwd"])
+        for k, layer in enumerate(enc.get("blstm_extra", []), start=1):
+            blstm_dir(k, "", layer["fwd"])
+            blstm_dir(k, "_reverse", layer["bwd"])
 
     def variance(prefix, p):
         for i, (c, ln) in enumerate(zip(p["convs"], p["lns"])):
@@ -184,24 +209,19 @@ def export_reference_state_dict(params, state, cfg):
             params["energy_embed"]["bias"])
 
     dec = params["decoder"]
-    for i, layer in enumerate(dec["prenet"]["layers"]):
-        lin(f"dec.prenet.prenet.{i}.0.weight", layer["w"])
-        sd[f"dec.prenet.prenet.{i}.0.bias"] = np.asarray(layer["b"])
-    for i, name in enumerate(("lstm0", "lstm1")):
-        pp = dec[name]
-        lin(f"dec.lstm.{i}.cell.weight_ih", pp["wx"])
-        lin(f"dec.lstm.{i}.cell.weight_hh", pp["wh"])
-        sd[f"dec.lstm.{i}.cell.bias_ih"] = np.asarray(pp["bx"])
-        sd[f"dec.lstm.{i}.cell.bias_hh"] = np.asarray(pp["bh"])
+    if cfg.prenet_layers > 0:
+        for i, layer in enumerate(dec["prenet"]["layers"]):
+            lin(f"dec.prenet.prenet.{i}.0.weight", layer["w"])
+            sd[f"dec.prenet.prenet.{i}.0.bias"] = np.asarray(layer["b"])
+    cell = ".cell" if cfg.zoneout_rate > 0.0 else ""
+    for i in range(cfg.dlayers):
+        pp = dec[f"lstm{i}"]
+        lin(f"dec.lstm.{i}{cell}.weight_ih", pp["wx"])
+        lin(f"dec.lstm.{i}{cell}.weight_hh", pp["wh"])
+        sd[f"dec.lstm.{i}{cell}.bias_ih"] = np.asarray(pp["bx"])
+        sd[f"dec.lstm.{i}{cell}.bias_hh"] = np.asarray(pp["bh"])
     lin("dec.feat_out.weight", dec["feat_out"]["w"])
-    for i, c in enumerate(dec["postnet"]["convs"]):
-        conv(f"dec.postnet.postnet.{i}.0.weight", c["kernel"])
-        sd[f"dec.postnet.postnet.{i}.1.weight"] = np.asarray(
-            dec["postnet"]["bns"][i]["scale"])
-        sd[f"dec.postnet.postnet.{i}.1.bias"] = np.asarray(
-            dec["postnet"]["bns"][i]["bias"])
-        st = state["decoder"]["postnet"]["bns"][i]
-        sd[f"dec.postnet.postnet.{i}.1.running_mean"] = np.asarray(
-            st["mean"])
-        sd[f"dec.postnet.postnet.{i}.1.running_var"] = np.asarray(st["var"])
+    if cfg.postnet_layers > 0:
+        conv_bn_stack("dec.postnet.postnet", dec["postnet"],
+                      state["decoder"]["postnet"])
     return sd

@@ -78,9 +78,11 @@ def test_pipeline_learns_to_reconstruct(tmp_path):
                       prenet_units=24, postnet_chans=24, dropout_rate=0.1,
                       zoneout_rate=0.05)
     model = Tacotron2SA(cfg)
+    # 120 epochs: the margin is init-seed sensitive (80 epochs converges to
+    # AR L1 0.4-0.73 across seeds; 120 gives headroom for every draw)
     tcfg = TrainConfig(exp_dir=os.path.join(str(tmp_path), "exp"),
-                       epochs=80, batch_size=5, lr=2e-3,
-                       eval_interval_epochs=80, save_interval_epochs=80)
+                       epochs=120, batch_size=5, lr=2e-3,
+                       eval_interval_epochs=120, save_interval_epochs=120)
     trainer = Trainer(model, tcfg, utts[:10], utts[:2], mesh=make_mesh(1))
     ts = trainer.run()
     entries = [json.loads(l) for l in
