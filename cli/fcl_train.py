@@ -48,6 +48,10 @@ def get_parser():
     p.add_argument("--use-concate", type=strtobool, default=True)
     p.add_argument("--use-residual", type=strtobool, default=False)
     p.add_argument("--use-masking", type=strtobool, default=True)
+    p.add_argument("--use-weighted-masking", type=strtobool, default=False,
+                   help="reference flag; rejected if True (unsupported)")
+    p.add_argument("--spk-embed-dim", type=int, default=None,
+                   help="speaker-embedding dim (None/0 = single speaker)")
     p.add_argument("--dropout-rate", type=float, default=0.5)
     p.add_argument("--zoneout-rate", type=float, default=0.1)
     p.add_argument("--reduction-factor", type=int, default=1)
@@ -66,6 +70,9 @@ def get_parser():
     p.add_argument("--model-module", type=str, default=None,
                    help="accepted for reference-config compatibility")
     p.add_argument("--use-second-target", type=strtobool, default=True)
+    p.add_argument("--pad-eos", type=strtobool, default=False,
+                   help="append eos (=vocab_size-1) to each token sequence "
+                        "(io_utils_fcl.py:325-326)")
     # batching (tts_train.py:118-182)
     p.add_argument("--batch-size", "-b", type=int, default=16)
     p.add_argument("--batch-sort-key", type=str, default="shuffle",
@@ -124,6 +131,8 @@ def model_config_from_args(args, idim, odim=80):
         reduction_factor=args.reduction_factor,
         dropout_rate=args.dropout_rate, zoneout_rate=args.zoneout_rate,
         use_masking=args.use_masking,
+        use_weighted_masking=args.use_weighted_masking,
+        spk_embed_dim=args.spk_embed_dim or 0,
         duration_predictor_layers=args.duration_predictor_layers,
         duration_predictor_chans=args.duration_predictor_chans,
         duration_predictor_kernel_size=args.duration_predictor_kernel_size,
@@ -186,8 +195,8 @@ def main(argv=None):
     from fcl_taco2_tpu.train.loop import Trainer
 
     idim, odim = infer_idim_odim(args.valid_json)
-    train_utts = load_manifest(args.train_json)
-    val_utts = load_manifest(args.valid_json)
+    train_utts = load_manifest(args.train_json, pad_eos=args.pad_eos)
+    val_utts = load_manifest(args.valid_json, pad_eos=args.pad_eos)
     tcfg = train_config_from_args(args)
 
     if not args.perform_kd:

@@ -15,7 +15,8 @@ from typing import List, Optional
 
 import numpy as np
 
-from fcl_taco2_tpu.data.manifest import Utterance, load_features
+from fcl_taco2_tpu.data.manifest import (Utterance, load_features,
+                                         load_spemb)
 from fcl_taco2_tpu.models.taco2_sa import Batch
 from fcl_taco2_tpu.ops.regroup import build_plan
 
@@ -118,6 +119,22 @@ class BatchConverter:
             f0_arr[i, :T] = f0
             en_arr[i, :T] = en
 
+        # speaker embeddings (io_utils_fcl.py:330-336: spembs ride the batch
+        # when the manifest has them); pad utterances get zero vectors
+        spembs = None
+        vecs = [load_spemb(u) for u in utts]
+        if any(v is not None for v in vecs):
+            dims = {v.shape[0] for v in vecs if v is not None}
+            if len(dims) != 1 or any(v is None for v in vecs):
+                raise ValueError(
+                    "inconsistent speaker embeddings in batch: every "
+                    f"utterance needs the same-dim spembs entry (got "
+                    f"dims {sorted(dims)}, "
+                    f"{sum(v is None for v in vecs)} missing)")
+            spembs = np.zeros((B, dims.pop()), np.float32)
+            for i, v in enumerate(vecs):
+                spembs[i] = v
+
         n_seg = int((durations > 0).sum())
         n_seg_padded = self.fixed_nseg or _round_up(n_seg, self.seg_bucket)
         plan = self._build_plan(durations, olens, n_seg_padded, Lmax)
@@ -127,5 +144,5 @@ class BatchConverter:
             seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
             seg_start=plan.seg_start, frame_mask=plan.frame_mask,
             position=plan.position, utt_gather=plan.utt_gather,
-            utt_mask=plan.utt_mask,
+            utt_mask=plan.utt_mask, spembs=spembs,
         )

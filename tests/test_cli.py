@@ -94,3 +94,23 @@ def test_cli_full_workflow(tmp_path):
     assert len(lines) == 1
     mat = read_ark_matrix(lines[0][1])
     assert mat.ndim == 2 and mat.shape[1] == 80
+
+
+def test_cli_multispeaker_training(tmp_path):
+    """Multi-speaker training is reachable from the CLI: spembs flow
+    manifest -> converter -> Batch -> model (round-1 gap)."""
+    from test_data_pipeline import write_corpus
+
+    from cli import fcl_train
+
+    corpus = write_corpus(str(tmp_path), n_utts=6, spk_embed_dim=16)
+    exp = os.path.join(str(tmp_path), "exp_spk")
+    fcl_train.main([
+        "--train-json", corpus, "--valid-json", corpus,
+        "--outdir", exp, "--perform-KD", "False",
+        "--spk-embed-dim", "16",
+        *_tiny_model_flags()])
+    assert os.path.exists(os.path.join(exp, "model.loss.best"))
+    with open(os.path.join(exp, "model.json")) as f:
+        conf = json.load(f)
+    assert conf["model_config"]["spk_embed_dim"] == 16

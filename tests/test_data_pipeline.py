@@ -9,7 +9,8 @@ import pytest
 from fcl_taco2_tpu.data import BatchConverter, load_manifest, make_batchset
 
 
-def write_corpus(tmpdir, n_utts=6, odim=8, max_dur=6, seed=0, vocab=11):
+def write_corpus(tmpdir, n_utts=6, odim=8, max_dur=6, seed=0, vocab=11,
+                 spk_embed_dim=0):
     rng = np.random.default_rng(seed)
     feat = os.path.join(tmpdir, "feats")
     os.makedirs(feat, exist_ok=True)
@@ -26,25 +27,34 @@ def write_corpus(tmpdir, n_utts=6, odim=8, max_dur=6, seed=0, vocab=11):
         en = rng.normal(size=(T, 1)).astype(np.float32)
         tokens = rng.integers(1, vocab, T)
         paths = {}
-        for name, arr in [("mel", mel), ("dur", dur.reshape(-1, 1)),
-                          ("f0", f0), ("en", en)]:
+        arrays = [("mel", mel), ("dur", dur.reshape(-1, 1)), ("f0", f0),
+                  ("en", en)]
+        if spk_embed_dim:
+            arrays.append(
+                ("spemb",
+                 rng.normal(size=(spk_embed_dim,)).astype(np.float32)))
+        for name, arr in arrays:
             p = os.path.join(feat, f"{uttid}_{name}.npy")
             np.save(p, arr)
             paths[name] = p
+        inputs = [
+            {"feat": paths["mel"], "filetype": "npy", "name": "input1",
+             "shape": [L, odim]},
+            {"feat": paths["dur"], "filetype": "npy", "name": "input2",
+             "shape": [T, 1]},
+            {"feat": paths["f0"], "filetype": "npy", "name": "input3",
+             "shape": [T, 1]},
+            {"feat": paths["en"], "filetype": "npy", "name": "input4",
+             "shape": [T, 1]},
+        ]
+        if spk_embed_dim:
+            inputs.append({"feat": paths["spemb"], "filetype": "npy",
+                           "name": "spembs", "shape": [spk_embed_dim]})
         js[uttid] = {
-            "input": [
-                {"feat": paths["mel"], "filetype": "npy", "name": "input1",
-                 "shape": [L, odim]},
-                {"feat": paths["dur"], "filetype": "npy", "name": "input2",
-                 "shape": [T, 1]},
-                {"feat": paths["f0"], "filetype": "npy", "name": "input3",
-                 "shape": [T, 1]},
-                {"feat": paths["en"], "filetype": "npy", "name": "input4",
-                 "shape": [T, 1]},
-            ],
+            "input": inputs,
             "output": [{"name": "target1", "shape": [T, vocab],
                         "tokenid": " ".join(str(t) for t in tokens)}],
-            "utt2spk": "LJ",
+            "utt2spk": f"spk{i % 2}" if spk_embed_dim else "LJ",
         }
     path = os.path.join(tmpdir, "data.json")
     with open(path, "w") as f:
