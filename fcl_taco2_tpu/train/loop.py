@@ -53,6 +53,8 @@ class TrainConfig:
     eval_interval_epochs: int = 1
     save_interval_epochs: int = 1
     sortagrad: int = 0
+    log_interval_steps: int = 100  # in-epoch progress line cadence
+    plot_interval_epochs: int = 1  # PNG refresh cadence (0 = end only)
     seed: int = 1
     n_devices: Optional[int] = None
     resume: Optional[str] = None
@@ -134,10 +136,13 @@ class Trainer:
                               lambda b: shard_batch(self.mesh, b))
 
     def evaluate(self, ts: TrainState, rng):
-        batches = make_batchset(
-            self.val_utts, batch_size=self.tcfg.batch_size,
-            sort_key="shuffle", min_batch_size=self.mesh.devices.size,
-            seed=0, odim=self.model.cfg.odim)
+        # EVERY validation utterance counts (the reference evaluates the
+        # full split, tts.py:71-108): sequential chunks, the trailing
+        # partial batch is padded with empty utterances by the converter
+        # (ilens=0 rows contribute nothing to the masked means)
+        bs = self.tcfg.batch_size
+        batches = [self.val_utts[i:i + bs]
+                   for i in range(0, len(self.val_utts), bs)]
         for batch in self._loader(batches):
             rng, sub = jax.random.split(rng)
             report = jax.device_get(self._run_eval_step(ts, batch, sub))
@@ -170,7 +175,8 @@ class Trainer:
                 # RPC on remote-attached TPUs; per-key float() would cost
                 # that PER KEY)
                 pending = None
-                for batch in self._loader(self._epoch_batches(epoch)):
+                for i, batch in enumerate(
+                        self._loader(self._epoch_batches(epoch))):
                     rng, sub = jax.random.split(rng)
                     timer.tic()
                     ts, report = self._run_train_step(ts, batch, sub)
@@ -179,6 +185,17 @@ class Trainer:
                                              prefix="main")
                     pending = report
                     timer.toc()
+                    # in-epoch progress (reference PrintReport/ProgressBar
+                    # every 100 iterations, tts.py:584-587)
+                    if t.log_interval_steps > 0 and \
+                            (i + 1) % t.log_interval_steps == 0:
+                        means = self.reporter.peek(["main/loss"])
+                        loss_s = (f"{means['main/loss']:.4f}"
+                                  if "main/loss" in means else "n/a")
+                        print(f"epoch {epoch + 1:>3} iter {i + 1:>6} "
+                              f"loss={loss_s}  "
+                              f"({timer.summary().get('step_ms_p50', 0):.0f}"
+                              " ms/step p50)", flush=True)
                 if pending is not None:
                     self.reporter.report(jax.device_get(pending),
                                          prefix="main")
@@ -193,6 +210,9 @@ class Trainer:
                 save_checkpoint(os.path.join(
                     t.exp_dir, f"snapshot.ep.{epoch + 1}"), ts, epoch + 1,
                     best_val=best_val)
+            if t.plot_interval_epochs > 0 and \
+                    (epoch + 1) % t.plot_interval_epochs == 0:
+                self.reporter.plot()  # refresh PNGs mid-run (tts.py:565-581)
             val = entry.get("validation/main/loss")
             if val is not None:
                 if val < best_val:

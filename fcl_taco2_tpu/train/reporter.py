@@ -27,6 +27,14 @@ class Reporter:
             self._sums[key] += float(v)
             self._counts[key] += 1
 
+    def peek(self, keys=None):
+        """Running means of the CURRENT epoch so far (for in-epoch progress
+        lines, reference PrintReport/ProgressBar every 100 iterations,
+        tts.py:584-587)."""
+        keys = keys or sorted(self._sums)
+        return {k: self._sums[k] / max(self._counts[k], 1)
+                for k in keys if k in self._sums}
+
     def summarize(self, epoch, step, extra=None):
         entry = {"epoch": epoch, "step": step,
                  "elapsed_sec": round(time.time() - self._t0, 2)}
@@ -73,4 +81,19 @@ class Reporter:
             plt.grid(True)
             fname = key.replace("/", "_") + ".png"
             plt.savefig(os.path.join(self.exp_dir, fname))
+            plt.close()
+        # combined loss plot (reference all_loss.png, tts.py:565-581)
+        loss_keys = [k for k in all_keys if k.endswith("loss")]
+        if loss_keys:
+            plt.figure(figsize=(7, 5))
+            for key in loss_keys:
+                xs = [e["epoch"] for e in self.history if key in e]
+                ys = [e[key] for e in self.history if key in e]
+                if xs:
+                    plt.plot(xs, ys, label=key)
+            plt.xlabel("epoch")
+            plt.ylabel("loss")
+            plt.legend(fontsize=7)
+            plt.grid(True)
+            plt.savefig(os.path.join(self.exp_dir, "all_loss.png"))
             plt.close()

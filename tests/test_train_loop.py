@@ -80,3 +80,45 @@ def test_nan_guard_skips_bad_step():
     good = {"w": jnp.ones(3)}
     updates, ost = tx.update(good, ost, params)
     assert float(jnp.abs(updates["w"]).sum()) > 0
+
+
+def test_eval_covers_full_val_split(tmp_path, capsys):
+    """Validation must not drop the tail batch (round-1 weak #5): with 5 val
+    utts and batch_size 4 on a 4-device mesh, both chunks (4 + 1 padded)
+    are evaluated."""
+    corpus = write_corpus(str(tmp_path), n_utts=11)
+    utts = load_manifest(corpus)
+    model = Tacotron2SA(tiny_config())
+    exp = os.path.join(str(tmp_path), "exp")
+    tcfg = TrainConfig(exp_dir=exp, epochs=1, batch_size=4, seed=3,
+                       log_interval_steps=1)
+    trainer = Trainer(model, tcfg, utts[:6], utts[6:], mesh=make_mesh(4))
+
+    seen = []
+    orig = trainer.converter
+
+    class CountingConverter:
+        def __call__(self, batch_utts):
+            seen.append(len(batch_utts))
+            return orig(batch_utts)
+
+    ts = trainer.init_state(jax.random.PRNGKey(0))
+    trainer.converter = CountingConverter()
+    trainer.evaluate(ts, jax.random.PRNGKey(1))
+    trainer.converter = orig
+    assert sorted(seen) == [1, 4], seen  # 5 utts -> chunks of 4 and 1
+    assert trainer.reporter._counts["validation/main/loss"] == 2
+
+    # in-epoch progress lines + per-epoch plots
+    trainer.run()
+    out = capsys.readouterr().out
+    assert "iter" in out and "ms/step" in out
+    assert os.path.exists(os.path.join(exp, "all_loss.png")) or not _has_mpl()
+
+
+def _has_mpl():
+    try:
+        import matplotlib  # noqa: F401
+        return True
+    except Exception:
+        return False
