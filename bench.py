@@ -195,6 +195,124 @@ def jax_tpu_run():
     return frames / dt, frames, jax.devices()[0].platform
 
 
+TRAIN_B = 16            # teacher training batch (teacher_model_training.sh)
+V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 peak FLOP/s (public spec)
+
+
+def train_step_run():
+    """Teacher train-step throughput at B=16 bf16 (the reference's training
+    configuration, teacher_model_training.sh:14-30) + XLA cost-analysis
+    FLOPs -> model FLOPs utilization on the one v5e chip."""
+    import jax
+    from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
+    from fcl_taco2_tpu.models.taco2_sa import Batch
+    from fcl_taco2_tpu.ops.regroup import build_plan
+    from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
+    from fcl_taco2_tpu.train.optim import build_optimizer
+    from fcl_taco2_tpu.train.state import TrainState
+    from fcl_taco2_tpu.train.step import make_train_step
+
+    cfg = teacher_config(idim=IDIM, odim=ODIM)
+    model = Tacotron2SA(cfg)
+    mesh = make_mesh(1)
+
+    rng = np.random.default_rng(0)
+    Tmax = N_PHONES
+    durations = np.clip(rng.poisson(MEAN_DUR, (TRAIN_B, Tmax)), 1,
+                        MAX_DUR).astype(np.int32)
+    olens = durations.sum(1).astype(np.int32)
+    Lmax = int(np.ceil(olens.max() / 64) * 64)
+    n_seg = TRAIN_B * Tmax
+    plan = build_plan(durations, olens, cfg.max_dur, n_seg, Lmax)
+    batch = Batch(
+        tokens=rng.integers(1, IDIM, (TRAIN_B, Tmax)).astype(np.int32),
+        ilens=np.full(TRAIN_B, Tmax, np.int32),
+        mel=rng.normal(size=(TRAIN_B, Lmax, ODIM)).astype(np.float32),
+        olens=olens, durations=durations,
+        f0=rng.normal(size=(TRAIN_B, Tmax, 1)).astype(np.float32),
+        energy=rng.normal(size=(TRAIN_B, Tmax, 1)).astype(np.float32),
+        seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
+        seg_start=plan.seg_start, frame_mask=plan.frame_mask,
+        position=plan.position, utt_gather=plan.utt_gather,
+        utt_mask=plan.utt_mask)
+    batch = shard_batch(mesh, batch)
+
+    params, mstate = jax.jit(model.init)(jax.random.PRNGKey(0))
+    tx = build_optimizer()
+    ts = TrainState(params, mstate, tx.init(params), np.int32(0))
+    step = make_train_step(model, tx, mesh)
+
+    key = jax.random.PRNGKey(1)
+    # two warm calls: the first compiles for host-numpy inputs, the second
+    # for the device-resident carry (signature change = one more compile)
+    ts, report = step(ts, batch, key)
+    jax.block_until_ready(report["loss"])
+    ts, report = step(ts, batch, key)
+    jax.block_until_ready(report["loss"])
+
+    n = 20
+    t0 = time.perf_counter()
+    for i in range(n):
+        ts, report = step(ts, batch, jax.random.fold_in(key, i))
+    jax.block_until_ready(report["loss"])
+    dt = (time.perf_counter() - t0) / n
+
+    frames = int(olens.sum())
+    # compiled-program FLOPs (fwd+bwd+update) for MFU
+    from fcl_taco2_tpu.train.profiler import cost_analysis
+    try:
+        costs = cost_analysis(lambda t, b, k: step(t, b, k), ts, batch, key)
+        flops = costs["flops"]
+    except Exception:
+        flops = -1.0
+    mfu = (flops / dt) / V5E_PEAK_BF16 if flops > 0 else -1.0
+    return {
+        "train_step_ms": round(dt * 1e3, 2),
+        "train_frames_per_sec": round(frames / dt, 1),
+        "train_step_flops": flops,
+        "train_mfu_v5e_bf16": round(mfu, 4) if mfu > 0 else -1.0,
+    }
+
+
+def batched_synth_run():
+    """Batched serving throughput: B=16 utterances decoded in one jitted
+    call (an improvement over the reference's batch-1 loop, tts.py:655-674).
+    """
+    import jax
+    import jax.numpy as jnp
+    from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
+
+    cfg = teacher_config(idim=IDIM, odim=ODIM)
+    model = Tacotron2SA(cfg)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+
+    rng = np.random.default_rng(0)
+    B = TRAIN_B
+    dur = np.clip(rng.poisson(MEAN_DUR, (B, N_PHONES)), 1, MAX_DUR).astype(
+        np.int32)
+    tokens = rng.integers(1, IDIM, (B, N_PHONES)).astype(np.int32)
+    ilens = np.full(B, N_PHONES, np.int32)
+
+    @jax.jit
+    def synth(params, state, tokens, ilens, durations, key):
+        return model.synthesize(params, state, tokens, ilens, key,
+                                frame_budget=FRAME_BUDGET,
+                                durations=durations)
+
+    args = (params, state, jnp.asarray(tokens), jnp.asarray(ilens),
+            jnp.asarray(dur))
+    out = synth(*args, jax.random.PRNGKey(1))
+    jax.block_until_ready(out["mel"])  # compile + warm
+    n = 10
+    t0 = time.perf_counter()
+    for i in range(n):
+        out = synth(*args, jax.random.PRNGKey(i))
+    jax.block_until_ready(out["mel"])
+    dt = (time.perf_counter() - t0) / n
+    frames = int(dur.sum())
+    return {"batch16_synth_frames_per_sec": round(frames / dt, 1)}
+
+
 def main():
     protocol = {"n_phones": N_PHONES, "mean_dur": MEAN_DUR,
                 "idim": IDIM, "odim": ODIM}
@@ -212,11 +330,21 @@ def main():
             json.dump(base, f, indent=2)
 
     fps, frames, platform = jax_tpu_run()
+    extra = {"protocol": dict(protocol, train_batch=TRAIN_B,
+                              frame_budget=FRAME_BUDGET,
+                              timing="median of jitted loops, compile "
+                                     "excluded, one v5e chip")}
+    for runner in (train_step_run, batched_synth_run):
+        try:
+            extra.update(runner())
+        except Exception as exc:  # keep the primary metric robust
+            extra[f"{runner.__name__}_error"] = repr(exc)
     print(json.dumps({
         "metric": "batch1_synthesis_mel_frames_per_sec",
         "value": round(fps, 1),
         "unit": "frames/s",
         "vs_baseline": round(fps / base["torch_cpu_frames_per_sec"], 2),
+        "extra": extra,
     }))
 
 
