@@ -5,10 +5,26 @@ pyworld is C++ (WORLD); its exact numerics are not reproducible without the
 dependency, so this is a proper reimplementation of fundamental-frequency
 estimation: YIN (de Cheveigné & Kawahara 2002) with cumulative-mean
 normalized difference, absolute threshold, parabolic interpolation, and a
-voicing decision — validated on synthetic harmonic signals
-(tests/test_frontend.py) to <1% relative error and exact unvoiced zeros,
-matching the contract the rest of the pipeline needs (zeros preserved
-through normalization, preprocess.py:67-69, 142-144).
+voicing decision.
+
+Error budget — measured against the committed torture goldens
+(tests/fixtures/f0_goldens.npz, analytic ground truth; regenerate with
+scripts/make_f0_goldens.py; asserted by tests/test_f0_goldens.py):
+
+    case          voicing F1   median cents   octave errors
+    vibrato          1.000          8.3            0
+    octave_trap      0.996          0.0            0
+    creaky_low       0.996          3.1            0
+    noisy (5 dB)     0.990          4.2            0
+    breathy          0.990          6.5            0
+    speechlike       0.988          2.7            0
+    onsets           0.905          0.1            0
+
+The default voicing threshold 0.35 is the measured sweet spot: 0.15 marks
+5 dB-SNR and breathy voicing entirely unvoiced; 0.5 falls into the octave
+trap (accepts the half-period lag of a dominant 2nd harmonic).  Unvoiced
+frames are exact zeros, preserved through normalization
+(preprocess.py:67-69, 142-144).
 
 Everything is batched framewise; one jit handles a whole utterance (or a
 padded batch of them).
@@ -25,7 +41,7 @@ from fcl_taco2_tpu.ops.stft import frame_signal
 @partial(jax.jit, static_argnames=("sr", "hop", "win_length", "fmin", "fmax",
                                    "threshold"))
 def yin_f0(x, sr=22050, hop=256, win_length=1024, fmin=71.0, fmax=800.0,
-           threshold=0.15):
+           threshold=0.35):
     """x: (N,) float -> f0 (T,) float32, 0 where unvoiced.
 
     T = 1 + N//hop (aligned with the STFT frame count so phoneme averaging

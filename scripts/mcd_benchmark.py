@@ -1,0 +1,123 @@
+#!/usr/bin/env python3
+"""End-to-end MCD measurement: corpus -> preprocess -> teacher training to
+convergence -> decode the held-out test shard -> MCD/L1/RMSE + frames/sec.
+
+This is the measurement BASELINE.md's "MCD parity" row asks for, run on a
+formant-synthesized corpus (audio/synthcorpus.py) because LJSpeech is not
+downloadable in this environment.  The whole reference protocol is followed
+(BASELINE.md:15-26): random train/val/test split by the preprocessor,
+max-phone-duration filter, 80 mel / 1024 fft / 256 hop / 22.05 kHz,
+best-validation checkpoint, duration/pitch/energy from the predictors
+(plus a ground-truth-duration variant), frames/sec from the decode wall
+clock.
+
+Writes results/MCD_e2e.json and prints the summary.
+
+Usage: python scripts/mcd_benchmark.py [--n-utts 480] [--epochs 80] ...
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workdir", type=str, default="/tmp/fcl_mcd_run")
+    p.add_argument("--n-utts", type=int, default=480)
+    p.add_argument("--n-val", type=int, default=40)
+    p.add_argument("--n-test", type=int, default=40)
+    p.add_argument("--epochs", type=int, default=80)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--seed", type=int, default=137)  # reference seed
+    p.add_argument("--out", type=str,
+                   default=os.path.join(REPO, "results", "MCD_e2e.json"))
+    p.add_argument("--corpus-seed", type=int, default=7)
+    args = p.parse_args(argv)
+
+    from cli import fcl_eval, fcl_preprocess, fcl_synth, fcl_train
+    from fcl_taco2_tpu.audio.synthcorpus import generate_corpus
+
+    wd = args.workdir
+    corpus = os.path.join(wd, "corpus")
+    feat = os.path.join(wd, "features")
+    exp = os.path.join(wd, "exp_teacher")
+    t_start = time.time()
+
+    print(f"[1/5] generating {args.n_utts}-utterance corpus ...", flush=True)
+    generate_corpus(corpus, n_utts=args.n_utts, seed=args.corpus_seed,
+                    log=print)
+
+    print("[2/5] preprocessing (mel/f0/energy, normalize, split) ...",
+          flush=True)
+    fcl_preprocess.main([
+        "--data-root", corpus, "--feature-root", feat,
+        "--textgrid-root", os.path.join(corpus, "tg"),
+        "--n-val", str(args.n_val), "--n-test", str(args.n_test),
+        "--seed", "1"])
+
+    print(f"[3/5] training the 512-d teacher for {args.epochs} epochs ...",
+          flush=True)
+    t0 = time.time()
+    fcl_train.main([
+        "--train-json", os.path.join(feat, "train_data.json"),
+        "--valid-json", os.path.join(feat, "val_data.json"),
+        "--outdir", exp, "--perform-KD", "False",
+        "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
+        "--seed", str(args.seed), "--n-devices", "1"])
+    train_sec = time.time() - t0
+    ckpt = os.path.join(exp, "model.loss.best")
+
+    print("[4/5] decoding the test shard ...", flush=True)
+    results = {}
+    for tag, extra in (("pred_dur", []),
+                       ("gt_dur", ["--use-gt-durations"])):
+        out_dir = os.path.join(wd, f"decode_{tag}")
+        fcl_synth.main(["--model", ckpt,
+                        "--json", os.path.join(feat, "test_data.json"),
+                        "--out", out_dir, "--batch-size", "8", *extra])
+        with open(os.path.join(out_dir, "decode.txt")) as f:
+            fps = float(f.read().split()[-1])
+
+        print(f"[5/5] evaluating ({tag}) ...", flush=True)
+        report_path = os.path.join(out_dir, "eval.json")
+        fcl_eval.main(["--feats-scp", os.path.join(out_dir, "feats.scp"),
+                       "--json", os.path.join(feat, "test_data.json"),
+                       "--out", report_path])
+        with open(report_path) as f:
+            summary = json.load(f)["summary"]
+        results[tag] = dict(summary, frames_per_sec=fps)
+
+    import jax
+    payload = {
+        "protocol": {
+            "corpus": "formant-synthesized speech-like corpus "
+                      "(fcl_taco2_tpu/audio/synthcorpus.py), LJSpeech "
+                      "unavailable offline",
+            "n_utts": args.n_utts, "n_val": args.n_val,
+            "n_test": args.n_test, "epochs": args.epochs,
+            "batch_size": args.batch_size,
+            "model": "FCL-taco2-T (512-d teacher, bf16 compute)",
+            "checkpoint": "model.loss.best",
+            "features": "80 mel / 1024 fft / 256 hop / 22.05 kHz",
+            "mcd": "dB, DCT-II cepstra c1..c13, trim-to-min alignment",
+            "backend": jax.default_backend(),
+        },
+        "train_wall_sec": round(train_sec, 1),
+        "total_wall_sec": round(time.time() - t_start, 1),
+        "results": results,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(json.dumps(payload["results"], indent=2))
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
