@@ -48,10 +48,13 @@ class Synthesizer:
         self.frame_bucket = frame_bucket
         self._jitted = {}
 
-    def _fn(self, B, Tmax, budget, warm_args=None, d_factor=1.0):
-        key = (B, Tmax, budget, d_factor)
+    def _fn(self, B, Tmax, budget, warm_args=None):
+        # d_factor is a traced argument of the jitted fn (NOT part of this
+        # cache key): changing the speaking rate costs zero recompiles
+        key = (B, Tmax, budget)
         if key not in self._jitted:
-            def fn(params, state, tokens, ilens, durations, use_dur, key):
+            def fn(params, state, tokens, ilens, durations, use_dur, key,
+                   d_factor):
                 return self.model.synthesize(
                     params, state, tokens, ilens, key, frame_budget=budget,
                     durations=durations if use_dur else None,
@@ -78,13 +81,19 @@ class Synthesizer:
             raise ValueError(f"{n} utterances > batch_size {B}")
         Tmax = _round_up(max(len(t) for t in token_lists), self.tok_bucket)
         if durations is not None:
-            # exact budget from the given durations — never truncates
-            need = max(int(np.sum(d)) for d in durations)
-            need = int(np.ceil(need * max(d_factor, 1.0))) + len(durations)
+            # exact budget from the given durations — replicate the device's
+            # per-phoneme round(d * factor) + clip so it never truncates
+            D = self.model.cfg.max_dur
+            need = max(
+                int(np.clip(np.round(np.asarray(d, np.float32)
+                                     * np.float32(d_factor)),
+                            0, D).sum())
+                for d in durations)
             budget = _round_up(need, self.frame_bucket)
         else:
-            budget = _round_up(Tmax * self.frame_per_token,
-                               self.frame_bucket)
+            budget = _round_up(
+                int(math.ceil(Tmax * self.frame_per_token
+                              * max(d_factor, 1.0))), self.frame_bucket)
         tokens = np.zeros((B, Tmax), np.int32)
         ilens = np.zeros(B, np.int32)
         durs = np.zeros((B, Tmax), np.int32)
@@ -95,9 +104,9 @@ class Synthesizer:
                 durs[i, :len(t)] = durations[i]
         dev_args = (self.params, self.state, jnp.asarray(tokens),
                     jnp.asarray(ilens), jnp.asarray(durs),
-                    durations is not None, rng)
-        fn = self._fn(B, Tmax, budget, warm_args=dev_args,
-                      d_factor=d_factor)
+                    durations is not None, rng,
+                    jnp.float32(d_factor))
+        fn = self._fn(B, Tmax, budget, warm_args=dev_args)
 
         t0 = time.perf_counter()
         out = fn(*dev_args)

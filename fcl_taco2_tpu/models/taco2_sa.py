@@ -290,9 +290,12 @@ class Tacotron2SA:
                 offset=cfg.duration_predictor_offset)
         else:
             d_outs = durations.astype(jnp.int32)
-        if d_factor != 1.0:  # speaking-rate knob applies to BOTH sources
-            d_outs = jnp.round(d_outs.astype(jnp.float32)
-                               * d_factor).astype(jnp.int32)
+        # speaking-rate knob applies to BOTH sources; d_factor is a traced
+        # scalar so changing the rate does NOT recompile (exact identity at
+        # 1.0: round(int * 1.0) == int)
+        d_outs = jnp.round(d_outs.astype(jnp.float32)
+                           * jnp.asarray(d_factor, jnp.float32)
+                           ).astype(jnp.int32)
         d_outs = jnp.clip(d_outs, 0, D)
         d_outs = jnp.where(pad_mask, 0, d_outs)
 
@@ -340,7 +343,8 @@ class Tacotron2SA:
         if decoder_backend == "auto":
             from fcl_taco2_tpu.ops.decoder_pallas import fits_vmem
             use_pallas = (jax.default_backend() == "tpu"
-                          and pallas_compatible and fits_vmem(cfg, D))
+                          and pallas_compatible
+                          and fits_vmem(cfg, D, weights_dtype=dtype))
         else:
             use_pallas = decoder_backend == "pallas"
             if use_pallas and not pallas_compatible:
@@ -354,9 +358,12 @@ class Tacotron2SA:
             # for the student model)
             from fcl_taco2_tpu.ops.decoder_pallas import fused_ar_decode
             seed = jax.random.randint(k_dec, (), 0, 2 ** 31 - 1)
+            # weight residency follows the compute dtype: bf16 halves the
+            # kernel's VMEM footprint (weights_dtype arg)
             seg_out = fused_ar_decode(
                 params["decoder"], enc_seg, position, seed,
-                zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate)
+                zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
+                weights_dtype=dtype)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
         else:
