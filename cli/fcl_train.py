@@ -24,6 +24,9 @@ def get_parser():
     p.add_argument("--valid-json", type=str, required=True)
     p.add_argument("--n-devices", type=int, default=None,
                    help="data-parallel devices (default: all)")
+    p.add_argument("--n-slices", type=int, default=1,
+                   help="TPU slices: >1 builds a hybrid replica(DCN) x "
+                        "data(ICI) mesh (parallel/mesh.make_hybrid_mesh)")
     p.add_argument("--seed", type=int, default=1)
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--minibatches", type=int, default=0)
@@ -173,8 +176,8 @@ def train_config_from_args(args):
         eval_interval_epochs=args.eval_interval_epochs,
         save_interval_epochs=args.save_interval_epochs,
         sortagrad=args.sortagrad, seed=args.seed,
-        n_devices=args.n_devices, resume=args.resume,
-        profile_dir=args.profile_dir)
+        n_devices=args.n_devices, n_slices=args.n_slices,
+        resume=args.resume, profile_dir=args.profile_dir)
 
 
 def main(argv=None):

@@ -23,7 +23,8 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from fcl_taco2_tpu.models.taco2_sa import Batch
 
-DATA_AXIS = "data"
+DATA_AXIS = "data"      # fast axis: intra-slice ICI
+REPLICA_AXIS = "replica"  # slow axis: cross-slice DCN (multi-slice/-host)
 
 
 def make_mesh(n_devices: Optional[int] = None,
@@ -35,15 +36,51 @@ def make_mesh(n_devices: Optional[int] = None,
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_hybrid_mesh(n_slices: int,
+                     devices_per_slice: Optional[int] = None,
+                     devices: Optional[Sequence] = None) -> Mesh:
+    """2-axis (replica=DCN, data=ICI) mesh for multi-slice / multi-host DP.
+
+    Both axes carry the batch (see ``batch_shardings``); the gradient
+    all-reduce XLA inserts is hierarchical — reduce inside each slice over
+    ICI first, then the small cross-slice sum rides DCN.  On real multi-
+    slice hardware the device order comes from
+    ``mesh_utils.create_hybrid_device_mesh`` so the inner axis is
+    guaranteed ICI-contiguous; on a flat backend (CPU tests, one slice)
+    we reshape the device list directly.
+    """
+    if devices is None:
+        devices = jax.devices()
+    if devices_per_slice is None:
+        if len(devices) % n_slices:
+            raise ValueError(f"{len(devices)} devices not divisible into "
+                             f"{n_slices} slices")
+        devices_per_slice = len(devices) // n_slices
+    n_total = n_slices * devices_per_slice
+    if len(devices) < n_total:
+        raise ValueError(f"need {n_total} devices, have {len(devices)}")
+    try:  # real multi-slice TPU: honor ICI/DCN topology
+        from jax.experimental import mesh_utils
+        dev_grid = mesh_utils.create_hybrid_device_mesh(
+            (devices_per_slice,), (n_slices,), devices=devices[:n_total])
+        # create_hybrid_device_mesh puts the DCN axis FIRST
+        dev_grid = dev_grid.reshape(n_slices, devices_per_slice)
+    except Exception:  # single-slice / CPU backend: flat reshape
+        dev_grid = np.asarray(devices[:n_total]).reshape(
+            n_slices, devices_per_slice)
+    return Mesh(dev_grid, (REPLICA_AXIS, DATA_AXIS))
+
+
 def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
 def batch_shardings(mesh: Mesh) -> NamedSharding:
-    """Sharding for Batch leaves: leading axis over ``data``.  Returned as
-    a single sharding usable as a pytree PREFIX (optional fields like
-    spembs may be None)."""
-    return NamedSharding(mesh, P(DATA_AXIS))
+    """Sharding for Batch leaves: leading axis split over ALL mesh axes
+    (flattened DP — works for the 1-axis ICI mesh and the 2-axis
+    replica×data hybrid alike).  Returned as a single sharding usable as
+    a pytree PREFIX (optional fields like spembs may be None)."""
+    return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
 def shard_batch(mesh: Mesh, batch: Batch) -> Batch:

@@ -18,7 +18,8 @@ from fcl_taco2_tpu.data.batchfy import make_batchset
 from fcl_taco2_tpu.data.converter import BatchConverter
 from fcl_taco2_tpu.data.loader import PrefetchLoader
 from fcl_taco2_tpu.models.taco2_sa import Tacotron2SA
-from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
+from fcl_taco2_tpu.parallel.distributed import make_global_batch
+from fcl_taco2_tpu.parallel.mesh import make_hybrid_mesh, make_mesh
 from fcl_taco2_tpu.train.checkpoint import (restore_checkpoint,
                                             save_checkpoint, save_model_json)
 from fcl_taco2_tpu.train.optim import build_optimizer
@@ -57,6 +58,7 @@ class TrainConfig:
     plot_interval_epochs: int = 1  # PNG refresh cadence (0 = end only)
     seed: int = 1
     n_devices: Optional[int] = None
+    n_slices: int = 1  # >1: hybrid replica(DCN) x data(ICI) mesh
     resume: Optional[str] = None
     profile_dir: Optional[str] = None  # capture an XLA trace of epoch 0
     fixed_shapes: bool = True  # one compile for the run (see BatchConverter)
@@ -67,7 +69,15 @@ class Trainer:
                  val_utts, mesh=None, cache_features=True):
         self.model = model
         self.tcfg = tcfg
-        self.mesh = mesh or make_mesh(tcfg.n_devices)
+        if mesh is not None:
+            self.mesh = mesh
+        elif tcfg.n_slices > 1:
+            self.mesh = make_hybrid_mesh(
+                tcfg.n_slices,
+                None if tcfg.n_devices is None
+                else tcfg.n_devices // tcfg.n_slices)
+        else:
+            self.mesh = make_mesh(tcfg.n_devices)
         n_data = self.mesh.devices.size
         if tcfg.batch_size % n_data:
             raise ValueError(
@@ -133,7 +143,7 @@ class Trainer:
 
     def _loader(self, batches):
         return PrefetchLoader(batches, self.converter,
-                              lambda b: shard_batch(self.mesh, b))
+                              lambda b: make_global_batch(self.mesh, b))
 
     def evaluate(self, ts: TrainState, rng):
         # EVERY validation utterance counts (the reference evaluates the

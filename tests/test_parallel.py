@@ -8,7 +8,9 @@ import numpy as np
 import jax
 
 from fcl_taco2_tpu.models import Tacotron2SA
-from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
+from fcl_taco2_tpu.parallel.distributed import make_global_batch
+from fcl_taco2_tpu.parallel.mesh import (make_hybrid_mesh, make_mesh,
+                                         shard_batch)
 from fcl_taco2_tpu.train.optim import build_optimizer
 from fcl_taco2_tpu.train.state import TrainState
 from fcl_taco2_tpu.train.step import make_train_step
@@ -52,3 +54,34 @@ def test_dp8_matches_single_device():
     for x, y in zip(flat1, flat8):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4,
                                    atol=1e-5)
+
+
+def test_hybrid_2x4_matches_single_device():
+    """multi-slice (replica x data) hybrid mesh is semantics-preserving:
+    the same step over a 2x4 mesh reproduces 1-device training."""
+    assert len(jax.devices()) >= 8, "conftest must force 8 CPU devices"
+    mesh = make_hybrid_mesh(2, 4)
+    assert mesh.axis_names == ("replica", "data")
+    assert mesh.devices.shape == (2, 4)
+    r1, ts1 = _run_steps(make_mesh(1))
+    rh, tsh = _run_steps(mesh)
+    for a, b in zip(r1, rh):
+        for k in a:
+            np.testing.assert_allclose(a[k], b[k], rtol=2e-4, atol=1e-5,
+                                       err_msg=k)
+    for x, y in zip(jax.tree_util.tree_leaves(ts1.params),
+                    jax.tree_util.tree_leaves(tsh.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y), rtol=2e-4,
+                                   atol=1e-5)
+
+
+def test_make_global_batch_single_process_equals_shard_batch():
+    cfg = tiny_config()
+    batch = synthetic_batch(cfg, B=8, Tmax=5, n_seg=32)
+    mesh = make_hybrid_mesh(2, 2)
+    a = make_global_batch(mesh, batch)
+    b = shard_batch(mesh, batch)
+    for x, y in zip(jax.tree_util.tree_leaves(a),
+                    jax.tree_util.tree_leaves(b)):
+        assert x.sharding.is_equivalent_to(y.sharding, x.ndim)
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
