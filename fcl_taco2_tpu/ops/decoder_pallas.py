@@ -43,15 +43,21 @@ def _kernel(seed_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref, pre_w2_ref,
             pre_b2_ref, wx0_pre_ref, wx0_pos_ref, bx0_ref, wh0_ref, bh0_ref,
             wx1_ref, bx1_ref, wh1_ref, bh1_ref, wf_z_ref, wx0_enc_ref,
             wf_enc_ref, out_ref, *, D, odim, dunits, zoneout, dropout):
+    wdt = wh0_ref.dtype  # fp32 (exact parity) or bf16 (halved residency)
+
+    def mm(a, w_ref):
+        # activations cast to the weight dtype feed the MXU natively;
+        # accumulation is always fp32 (preferred_element_type)
+        return jnp.dot(a.astype(wdt), w_ref[:],
+                       preferred_element_type=jnp.float32)
+
     if dropout > 0.0:  # TPU-only PRNG; skipped in deterministic mode
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
 
     enc = enc_ref[:]  # (TILE, idim)
     # hoisted step-invariant GEMMs
-    enc_gates = jnp.dot(enc, wx0_enc_ref[:],
-                        preferred_element_type=jnp.float32) + bx0_ref[:]
-    enc_out = jnp.dot(enc, wf_enc_ref[:],
-                      preferred_element_type=jnp.float32)
+    enc_gates = mm(enc, wx0_enc_ref) + bx0_ref[:]
+    enc_out = mm(enc, wf_enc_ref)
 
     keep = 1.0 - zoneout
 
@@ -65,14 +71,10 @@ def _kernel(seed_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref, pre_w2_ref,
     def step(t, carry):
         prev, h0, c0, h1, c1 = carry
         # prenet (always-on dropout)
-        p = jnp.maximum(
-            jnp.dot(prev, pre_w1_ref[:],
-                    preferred_element_type=jnp.float32) + pre_b1_ref[:], 0.0)
+        p = jnp.maximum(mm(prev, pre_w1_ref) + pre_b1_ref[:], 0.0)
         if dropout > 0.0:
             p = p * _dropout_bits(p.shape, dropout)
-        p = jnp.maximum(
-            jnp.dot(p, pre_w2_ref[:],
-                    preferred_element_type=jnp.float32) + pre_b2_ref[:], 0.0)
+        p = jnp.maximum(mm(p, pre_w2_ref) + pre_b2_ref[:], 0.0)
         if dropout > 0.0:
             p = p * _dropout_bits(p.shape, dropout)
 
@@ -80,21 +82,14 @@ def _kernel(seed_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref, pre_w2_ref,
         # (D, TILE) so the dynamic step index hits the sublane dim
         # (lane-dim dynamic slices are not Mosaic-addressable)
         gates0 = (enc_gates
-                  + jnp.dot(p, wx0_pre_ref[:],
-                            preferred_element_type=jnp.float32)
-                  + pos_t * wx0_pos_ref[:]
-                  + jnp.dot(h0, wh0_ref[:],
-                            preferred_element_type=jnp.float32)
+                  + mm(p, wx0_pre_ref)
+                  + pos_t * wx0_pos_ref[:].astype(jnp.float32)
+                  + mm(h0, wh0_ref)
                   + bh0_ref[:])
         h0n, c0n = lstm_half(gates0, h0, c0)
-        gates1 = (jnp.dot(h0n, wx1_ref[:],
-                          preferred_element_type=jnp.float32) + bx1_ref[:]
-                  + jnp.dot(h1, wh1_ref[:],
-                            preferred_element_type=jnp.float32)
-                  + bh1_ref[:])
+        gates1 = mm(h0n, wx1_ref) + bx1_ref[:] + mm(h1, wh1_ref) + bh1_ref[:]
         h1n, c1n = lstm_half(gates1, h1, c1)
-        out = jnp.dot(h1n, wf_z_ref[:],
-                      preferred_element_type=jnp.float32) + enc_out
+        out = mm(h1n, wf_z_ref) + enc_out
         out_ref[:, t, :] = out
         return (out, h0n, c0n, h1n, c1n)
 
@@ -103,7 +98,7 @@ def _kernel(seed_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref, pre_w2_ref,
     jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
 
 
-def vmem_bytes_estimate(cfg, D=None):
+def vmem_bytes_estimate(cfg, D=None, weights_dtype=jnp.float32):
     """Rough VMEM need: resident weights + per-tile activations/outputs."""
     D = D or cfg.max_dur
     H, idim, units, odim = cfg.dunits, cfg.dec_idim, cfg.prenet_units, \
@@ -114,18 +109,21 @@ def vmem_bytes_estimate(cfg, D=None):
                + H * 4 * H + H * 4 * H               # lstm1 wx + wh
                + (H + idim) * odim)                  # feat_out
     acts = TILE * (idim + D + D * odim + 4 * H + 2 * 4 * H + 2 * units)
-    return 4 * (weights + acts)
+    return jnp.dtype(weights_dtype).itemsize * weights + 4 * acts
 
 
-def fits_vmem(cfg, D=None, budget=13 * 1024 * 1024):
+def fits_vmem(cfg, D=None, budget=13 * 1024 * 1024,
+              weights_dtype=jnp.float32):
     """True when the fused kernel's weights + tile fit on-chip (the teacher
-    at 1024-d LSTMs does NOT fit; the student at 256-d does)."""
-    return vmem_bytes_estimate(cfg, D) <= budget
+    at 1024-d LSTMs does NOT fit even in bf16 — ~31 MB of weights vs ~16 MB
+    VMEM; the student at 256-d fits in either dtype)."""
+    return vmem_bytes_estimate(cfg, D, weights_dtype) <= budget
 
 
-@functools.partial(jax.jit, static_argnames=("zoneout", "dropout"))
+@functools.partial(jax.jit,
+                   static_argnames=("zoneout", "dropout", "weights_dtype"))
 def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
-                    dropout=0.5):
+                    dropout=0.5, weights_dtype=jnp.float32):
     """Run the whole AR loop in one Pallas kernel.
 
     Args:
@@ -133,6 +131,10 @@ def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
         enc_seg: (P, idim) float32 per-segment conditioning vectors.
         position: (P, D) float32 position ramps.
         seed: int32 scalar for the prenet-dropout PRNG.
+        weights_dtype: resident dtype of the weight MATRICES (biases and
+            LSTM state stay fp32; MXU accumulates fp32).  bfloat16 halves
+            VMEM residency — larger configs fit — at ~1e-2 relative
+            output error.
     Returns:
         (P, D, odim) float32 frames (valid frames selected by caller).
     """
@@ -156,19 +158,20 @@ def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     wf_z, wf_enc = wf[:dunits], wf[dunits:]
 
     f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    wdt = lambda x: x.astype(weights_dtype)  # weight matrices only # noqa
     args = [
         f32(enc_seg), f32(position).T,  # (D, TILE-padded P)
-        f32(pre[0]["w"]), f32(pre[0]["b"])[None, :],
-        f32(pre[1]["w"]), f32(pre[1]["b"])[None, :],
-        f32(wx0_pre), f32(wx0_pos),
+        wdt(pre[0]["w"]), f32(pre[0]["b"])[None, :],
+        wdt(pre[1]["w"]), f32(pre[1]["b"])[None, :],
+        wdt(wx0_pre), wdt(wx0_pos),
         f32(dec_params["lstm0"]["bx"])[None, :],
-        f32(dec_params["lstm0"]["wh"]),
+        wdt(dec_params["lstm0"]["wh"]),
         f32(dec_params["lstm0"]["bh"])[None, :],
-        f32(dec_params["lstm1"]["wx"]),
+        wdt(dec_params["lstm1"]["wx"]),
         f32(dec_params["lstm1"]["bx"])[None, :],
-        f32(dec_params["lstm1"]["wh"]),
+        wdt(dec_params["lstm1"]["wh"]),
         f32(dec_params["lstm1"]["bh"])[None, :],
-        f32(wf_z), f32(wx0_enc), f32(wf_enc),
+        wdt(wf_z), wdt(wx0_enc), wdt(wf_enc),
     ]
 
     grid = (Pp // TILE,)

@@ -45,6 +45,16 @@ def test_fused_matches_scan_no_dropout(monkeypatch):
     got = got * np.asarray(frame_mask)[..., None]
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
 
+    # bf16-resident weights: same math with halved residency; the AR
+    # feedback compounds rounding, so the budget is loose but bounded
+    got16 = dp.fused_ar_decode(params, enc_seg, position, 0,
+                               zoneout=cfg.zoneout_rate, dropout=0.0,
+                               weights_dtype=jnp.bfloat16)
+    got16 = got16 * np.asarray(frame_mask)[..., None]
+    err = np.abs(np.asarray(got16) - np.asarray(want)).max()
+    scale = np.abs(np.asarray(want)).max()
+    assert err < 0.05 * scale + 1e-3, (err, scale)
+
 
 def test_fused_dropout_is_stochastic_but_bounded(monkeypatch):
     import fcl_taco2_tpu.ops.decoder_pallas as dp
