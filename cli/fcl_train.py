@@ -177,7 +177,8 @@ def train_config_from_args(args):
         save_interval_epochs=args.save_interval_epochs,
         sortagrad=args.sortagrad, seed=args.seed,
         n_devices=args.n_devices, n_slices=args.n_slices,
-        resume=args.resume, profile_dir=args.profile_dir)
+        resume=args.resume, profile_dir=args.profile_dir,
+        checkpoint_on_signal=True)
 
 
 def main(argv=None):

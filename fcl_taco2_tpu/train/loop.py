@@ -9,6 +9,8 @@ stopping on validation loss, sortagrad, resume.
 import contextlib
 import dataclasses
 import os
+import signal
+import threading
 from typing import Optional
 
 import jax
@@ -62,6 +64,12 @@ class TrainConfig:
     resume: Optional[str] = None
     profile_dir: Optional[str] = None  # capture an XLA trace of epoch 0
     fixed_shapes: bool = True  # one compile for the run (see BatchConverter)
+    # preemption safety: on SIGTERM/SIGINT, finish the in-flight step, save
+    # snapshot.preempt, and return cleanly (resumable via --resume).  The
+    # reference loses everything since its last 10-epoch amp checkpoint
+    # (tts.py:190-198).  Off by default in library use (signal handlers
+    # only bind on the main thread); the CLIs enable it.
+    checkpoint_on_signal: bool = False
 
 
 class Trainer:
@@ -161,20 +169,42 @@ class Trainer:
 
     def run(self, rng=None):
         t = self.tcfg
-        rng = rng if rng is not None else jax.random.PRNGKey(t.seed)
-        rng, init_rng = jax.random.split(rng)
-        ts = self.init_state(init_rng)
-        start_epoch = 0
-        best_val = float("inf")
-        if t.resume:
-            ts, start_epoch, best_val = restore_checkpoint(t.resume, ts)
-            print(f"resumed from {t.resume} at epoch {start_epoch} "
-                  f"(best_val {best_val:.4f})")
+        # install the preemption handler FIRST: a signal landing during the
+        # (potentially minutes-long) init/step compile must be caught too
+        preempt = threading.Event()
+        prev_handlers = {}
+        if t.checkpoint_on_signal and \
+                threading.current_thread() is threading.main_thread():
+            def _on_signal(signum, frame):
+                print(f"signal {signum}: checkpointing after the in-flight "
+                      "step", flush=True)
+                preempt.set()
+            for sig in (signal.SIGTERM, signal.SIGINT):
+                prev_handlers[sig] = signal.signal(sig, _on_signal)
+        try:
+            rng = rng if rng is not None else jax.random.PRNGKey(t.seed)
+            rng, init_rng = jax.random.split(rng)
+            ts = self.init_state(init_rng)
+            start_epoch = 0
+            best_val = float("inf")
+            if t.resume:
+                ts, start_epoch, best_val = restore_checkpoint(t.resume, ts)
+                print(f"resumed from {t.resume} at epoch {start_epoch} "
+                      f"(best_val {best_val:.4f})")
 
-        from fcl_taco2_tpu.train.profiler import StepTimer, trace
+            from fcl_taco2_tpu.train.profiler import StepTimer, trace
 
-        timer = StepTimer()
-        bad_epochs = 0
+            timer = StepTimer()
+            bad_epochs = 0
+            return self._run_epochs(rng, ts, start_epoch, best_val,
+                                    bad_epochs, timer, trace, preempt)
+        finally:
+            for sig, h in prev_handlers.items():
+                signal.signal(sig, h)
+
+    def _run_epochs(self, rng, ts, start_epoch, best_val, bad_epochs, timer,
+                    trace, preempt):
+        t = self.tcfg
         for epoch in range(start_epoch, t.epochs):
             profile = (t.profile_dir is not None and epoch == start_epoch)
             ctx = trace(t.profile_dir) if profile \
@@ -206,9 +236,18 @@ class Trainer:
                               f"loss={loss_s}  "
                               f"({timer.summary().get('step_ms_p50', 0):.0f}"
                               " ms/step p50)", flush=True)
+                    if preempt.is_set():
+                        break
                 if pending is not None:
                     self.reporter.report(jax.device_get(pending),
                                          prefix="main")
+            if preempt.is_set():
+                path = os.path.join(t.exp_dir, "snapshot.preempt")
+                # save THIS epoch index: resume restarts the cut epoch
+                save_checkpoint(path, ts, epoch, best_val=best_val)
+                print(f"preempted at epoch {epoch + 1}: saved {path} "
+                      "(restart with --resume to continue)", flush=True)
+                return ts
             if (epoch + 1) % t.eval_interval_epochs == 0:
                 rng = self.evaluate(ts, rng)
             entry = self.reporter.summarize(epoch + 1, int(ts.step),

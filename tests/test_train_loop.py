@@ -122,3 +122,48 @@ def _has_mpl():
         return True
     except Exception:
         return False
+
+
+def test_sigterm_checkpoints_and_resumes(tmp_path):
+    """Preemption safety: SIGTERM mid-run finishes the in-flight step,
+    writes snapshot.preempt, and returns; --resume continues the cut
+    epoch.  (The reference loses up to 10 epochs, tts.py:190-198.)"""
+    import signal
+    import threading
+
+    corpus = write_corpus(str(tmp_path), n_utts=8)
+    utts = load_manifest(corpus)
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    exp = os.path.join(str(tmp_path), "exp_pre")
+    # epochs high enough that the run cannot finish before the signal
+    tcfg = TrainConfig(exp_dir=exp, epochs=10_000, batch_size=4, seed=3,
+                       n_devices=1, checkpoint_on_signal=True,
+                       save_interval_epochs=10_000,
+                       eval_interval_epochs=10_000)
+    trainer = Trainer(model, tcfg, utts[:6], utts[6:], mesh=make_mesh(1))
+    timer = threading.Timer(3.0, lambda: os.kill(os.getpid(),
+                                                 signal.SIGTERM))
+    timer.start()
+    try:
+        ts = trainer.run()
+    finally:
+        timer.cancel()
+    path = os.path.join(exp, "snapshot.preempt")
+    assert os.path.exists(path)
+    assert int(ts.step) > 0
+    # default handlers restored
+    assert signal.getsignal(signal.SIGTERM) is signal.SIG_DFL
+
+    restored, epoch, _ = restore_checkpoint(path, ts)
+    a = jax.tree_util.tree_leaves(restored.params)
+    b = jax.tree_util.tree_leaves(ts.params)
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+    # resume continues from the saved step without error
+    tcfg2 = TrainConfig(exp_dir=exp + "2", epochs=epoch + 1, batch_size=4,
+                        seed=3, n_devices=1, resume=path)
+    trainer2 = Trainer(model, tcfg2, utts[:6], utts[6:], mesh=make_mesh(1))
+    ts2 = trainer2.run()
+    assert int(ts2.step) > int(ts.step)
