@@ -130,6 +130,10 @@ class Trainer:
         # jitted init: one compiled program instead of hundreds of tiny
         # PRNG dispatches (slow over remote-device links)
         params, mstate = jax.jit(self.model.init)(rng)
+        # per-submodule size report at construction
+        # (e2e_tts_tacotron2_sa.py:483-517 parity)
+        from fcl_taco2_tpu.utils.summary import format_param_report
+        print(format_param_report(params), flush=True)
         return TrainState(params, mstate, self.tx.init(params),
                           np.int32(0))
 

@@ -38,6 +38,10 @@ def main(argv=None):
     p.add_argument("--out", type=str,
                    default=os.path.join(REPO, "results", "MCD_e2e.json"))
     p.add_argument("--corpus-seed", type=int, default=7)
+    p.add_argument("--stage", choices=["all", "teacher", "student"],
+                   default="all",
+                   help="'student' reuses an existing teacher run in "
+                        "--workdir (KD + decode + eval only)")
     args = p.parse_args(argv)
 
     from cli import fcl_eval, fcl_preprocess, fcl_synth, fcl_train
@@ -47,44 +51,20 @@ def main(argv=None):
     corpus = os.path.join(wd, "corpus")
     feat = os.path.join(wd, "features")
     exp = os.path.join(wd, "exp_teacher")
+    exp_s = os.path.join(wd, "exp_student")
     t_start = time.time()
-
-    print(f"[1/5] generating {args.n_utts}-utterance corpus ...", flush=True)
-    generate_corpus(corpus, n_utts=args.n_utts, seed=args.corpus_seed,
-                    log=print)
-
-    print("[2/5] preprocessing (mel/f0/energy, normalize, split) ...",
-          flush=True)
-    fcl_preprocess.main([
-        "--data-root", corpus, "--feature-root", feat,
-        "--textgrid-root", os.path.join(corpus, "tg"),
-        "--n-val", str(args.n_val), "--n-test", str(args.n_test),
-        "--seed", "1"])
-
-    print(f"[3/5] training the 512-d teacher for {args.epochs} epochs ...",
-          flush=True)
-    t0 = time.time()
-    fcl_train.main([
-        "--train-json", os.path.join(feat, "train_data.json"),
-        "--valid-json", os.path.join(feat, "val_data.json"),
-        "--outdir", exp, "--perform-KD", "False",
-        "--epochs", str(args.epochs), "--batch-size", str(args.batch_size),
-        "--seed", str(args.seed), "--n-devices", "1"])
-    train_sec = time.time() - t0
-    ckpt = os.path.join(exp, "model.loss.best")
-
-    print("[4/5] decoding the test shard ...", flush=True)
     results = {}
-    for tag, extra in (("pred_dur", []),
-                       ("gt_dur", ["--use-gt-durations"])):
+    train_sec = kd_sec = None
+
+    def decode_and_eval(ckpt, tag, extra_synth=()):
         out_dir = os.path.join(wd, f"decode_{tag}")
         fcl_synth.main(["--model", ckpt,
                         "--json", os.path.join(feat, "test_data.json"),
-                        "--out", out_dir, "--batch-size", "8", *extra])
+                        "--out", out_dir, "--batch-size", "8",
+                        *extra_synth])
         with open(os.path.join(out_dir, "decode.txt")) as f:
             fps = float(f.read().split()[-1])
-
-        print(f"[5/5] evaluating ({tag}) ...", flush=True)
+        print(f"[eval] {tag} ...", flush=True)
         report_path = os.path.join(out_dir, "eval.json")
         fcl_eval.main(["--feats-scp", os.path.join(out_dir, "feats.scp"),
                        "--json", os.path.join(feat, "test_data.json"),
@@ -92,6 +72,63 @@ def main(argv=None):
         with open(report_path) as f:
             summary = json.load(f)["summary"]
         results[tag] = dict(summary, frames_per_sec=fps)
+
+    if args.stage in ("all", "teacher"):
+        print(f"[1/5] generating {args.n_utts}-utterance corpus ...",
+              flush=True)
+        generate_corpus(corpus, n_utts=args.n_utts, seed=args.corpus_seed,
+                        log=print)
+
+        print("[2/5] preprocessing (mel/f0/energy, normalize, split) ...",
+              flush=True)
+        fcl_preprocess.main([
+            "--data-root", corpus, "--feature-root", feat,
+            "--textgrid-root", os.path.join(corpus, "tg"),
+            "--n-val", str(args.n_val), "--n-test", str(args.n_test),
+            "--seed", "1"])
+
+        print(f"[3/5] training the 512-d teacher for {args.epochs} "
+              "epochs ...", flush=True)
+        t0 = time.time()
+        fcl_train.main([
+            "--train-json", os.path.join(feat, "train_data.json"),
+            "--valid-json", os.path.join(feat, "val_data.json"),
+            "--outdir", exp, "--perform-KD", "False",
+            "--epochs", str(args.epochs),
+            "--batch-size", str(args.batch_size),
+            "--seed", str(args.seed), "--n-devices", "1"])
+        train_sec = time.time() - t0
+
+        print("[4/5] decoding + evaluating the test shard ...", flush=True)
+        ckpt = os.path.join(exp, "model.loss.best")
+        decode_and_eval(ckpt, "pred_dur")
+        decode_and_eval(ckpt, "gt_dur", ["--use-gt-durations"])
+
+    if args.stage in ("all", "student"):
+        # reference flagship workflow part 2: distill FCL-taco2-S from the
+        # frozen teacher (student_model_training.sh), then measure the
+        # student's own MCD + speed (the student is the model the paper
+        # ships; on TPU it also rides the fused Pallas decoder)
+        print(f"[KD] distilling the 256-d student for {args.epochs} "
+              "epochs ...", flush=True)
+        t0 = time.time()
+        fcl_train.main([
+            "--config", os.path.join(REPO, "conf",
+                                     "train_fcl_taco2.student.yaml"),
+            "--train-json", os.path.join(feat, "train_data.json"),
+            "--valid-json", os.path.join(feat, "val_data.json"),
+            "--outdir", exp_s, "--perform-KD", "True",
+            "--share-proj", "True",
+            "--teacher-config", os.path.join(
+                REPO, "conf", "train_fcl_taco2.teacher.yaml"),
+            "--teacher-checkpoint", os.path.join(exp, "model.loss.best"),
+            "--epochs", str(args.epochs),
+            "--batch-size", str(args.batch_size),
+            "--seed", str(args.seed), "--n-devices", "1"])
+        kd_sec = time.time() - t0
+        ckpt_s = os.path.join(exp_s, "model.loss.best")
+        decode_and_eval(ckpt_s, "student_pred_dur")
+        decode_and_eval(ckpt_s, "student_gt_dur", ["--use-gt-durations"])
 
     import jax
     payload = {
@@ -102,17 +139,25 @@ def main(argv=None):
             "n_utts": args.n_utts, "n_val": args.n_val,
             "n_test": args.n_test, "epochs": args.epochs,
             "batch_size": args.batch_size,
-            "model": "FCL-taco2-T (512-d teacher, bf16 compute)",
+            "model": "FCL-taco2-T (512-d teacher) -> KD FCL-taco2-S "
+                     "(256-d student), bf16 compute",
             "checkpoint": "model.loss.best",
             "features": "80 mel / 1024 fft / 256 hop / 22.05 kHz",
             "mcd": "dB, DCT-II cepstra c1..c13, trim-to-min alignment",
             "backend": jax.default_backend(),
         },
-        "train_wall_sec": round(train_sec, 1),
+        "teacher_train_wall_sec": train_sec and round(train_sec, 1),
+        "kd_train_wall_sec": kd_sec and round(kd_sec, 1),
         "total_wall_sec": round(time.time() - t_start, 1),
         "results": results,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.exists(args.out):  # staged runs merge into one artifact
+        with open(args.out) as f:
+            old = json.load(f)
+        payload["results"] = {**old.get("results", {}), **results}
+        for k in ("teacher_train_wall_sec", "kd_train_wall_sec"):
+            payload[k] = payload[k] or old.get(k)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload["results"], indent=2))

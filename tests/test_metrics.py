@@ -47,3 +47,28 @@ def test_cost_analysis_reports_flops():
                       jnp.ones((32, 16)))
     # 2*M*N*K = 2*64*16*32 = 65536 (allow backend slack)
     assert c["flops"] >= 2 * 64 * 16 * 32 * 0.9
+
+
+def test_param_counts_teacher_vs_student():
+    """Reference prints per-submodule trainable param counts at
+    construction (e2e_tts_tacotron2_sa.py:483-517); same report here, and
+    the student must be the small model (the paper's size comparison)."""
+    import jax
+    from fcl_taco2_tpu.models import Tacotron2SA
+    from fcl_taco2_tpu.models.config import student_config, teacher_config
+    from fcl_taco2_tpu.utils.summary import format_param_report, param_counts
+
+    t_params, _ = Tacotron2SA(teacher_config(idim=70)).init(
+        jax.random.PRNGKey(0))
+    s_params, _ = Tacotron2SA(student_config(idim=70)).init(
+        jax.random.PRNGKey(0))
+    ct, cs = param_counts(t_params), param_counts(s_params)
+    for k in ("encoder", "decoder", "duration_predictor", "total"):
+        assert k in ct and k in cs
+    assert ct["total"] > 3 * cs["total"]  # teacher 512-d vs student 256-d
+    # exact leaf-sum cross-check
+    assert ct["total"] == sum(
+        int(np.prod(x.shape))
+        for x in jax.tree_util.tree_leaves(t_params))
+    report = format_param_report(s_params)
+    assert "TOTAL" in report and "encoder" in report
