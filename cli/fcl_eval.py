@@ -23,6 +23,11 @@ def main(argv=None):
                    help="manifest with ground-truth mel paths")
     p.add_argument("--out", type=str, default=None,
                    help="optional json report path")
+    p.add_argument("--mel-stats", type=str, default=None,
+                   help="mel_stats.npy (mean/std rows) to DENORMALIZE both "
+                        "sides so MCD is in standard log-mel dB; default: "
+                        "auto-discover next to --json; pass 'none' to "
+                        "compare normalized features as-is")
     args = p.parse_args(argv)
 
     from fcl_taco2_tpu.data import load_manifest
@@ -31,6 +36,19 @@ def main(argv=None):
     from fcl_taco2_tpu.infer.metrics import (mel_cepstral_distortion,
                                              mel_l1, mel_rmse)
 
+    # manifests store mean/var-normalized mels; MCD in the literature is
+    # over raw log-mels, so denormalize with the training stats when found
+    stats = args.mel_stats
+    if stats is None:
+        cand = os.path.join(os.path.dirname(os.path.abspath(args.json)),
+                            "mel_stats.npy")
+        stats = cand if os.path.exists(cand) else "none"
+    if stats != "none":
+        mean, std = np.load(stats)
+        denorm = lambda m: m * std + mean  # noqa: E731
+    else:
+        denorm = lambda m: m  # noqa: E731
+
     utts = {u.uttid: u for u in load_manifest(args.json)}
     rows = []
     with open(args.feats_scp) as f:
@@ -38,9 +56,9 @@ def main(argv=None):
             uttid, pointer = line.split()
             if uttid not in utts:
                 continue
-            hyp = read_ark_matrix(pointer)
+            hyp = denorm(read_ark_matrix(pointer))
             u = utts[uttid]
-            ref = _load_feat(u.mel_path, u.filetypes[0])
+            ref = denorm(_load_feat(u.mel_path, u.filetypes[0]))
             rows.append({
                 "uttid": uttid,
                 "mcd": mel_cepstral_distortion(hyp, ref),
@@ -53,6 +71,8 @@ def main(argv=None):
     summary = {k: float(np.mean([r[k] for r in rows]))
                for k in ("mcd", "l1", "rmse")}
     summary["n_utts"] = len(rows)
+    summary["units"] = ("log-mel dB (denormalized)" if stats != "none"
+                        else "normalized feature units")
     print(json.dumps(summary))
     if args.out:
         with open(args.out, "w") as f:

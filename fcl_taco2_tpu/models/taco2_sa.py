@@ -342,11 +342,21 @@ class Tacotron2SA:
                              and cfg.reduction_factor == 1)
         if decoder_backend == "auto":
             from fcl_taco2_tpu.ops.decoder_pallas import fits_vmem
+            # residency policy (results/PALLAS_decoder.json): fp32 weights
+            # are FASTER than bf16 in-kernel (the per-step activation cast
+            # costs more than the halved residency buys), so prefer fp32
+            # whenever it fits and fall back to bf16 only to fit VMEM
+            if fits_vmem(cfg, D):
+                kernel_wdt = jnp.float32
+            elif fits_vmem(cfg, D, weights_dtype=jnp.bfloat16):
+                kernel_wdt = jnp.bfloat16
+            else:
+                kernel_wdt = None
             use_pallas = (jax.default_backend() == "tpu"
-                          and pallas_compatible
-                          and fits_vmem(cfg, D, weights_dtype=dtype))
+                          and pallas_compatible and kernel_wdt is not None)
         else:
             use_pallas = decoder_backend == "pallas"
+            kernel_wdt = jnp.float32
             if use_pallas and not pallas_compatible:
                 raise ValueError(
                     "decoder_backend='pallas' requires prenet_layers=2, "
@@ -358,12 +368,10 @@ class Tacotron2SA:
             # for the student model)
             from fcl_taco2_tpu.ops.decoder_pallas import fused_ar_decode
             seed = jax.random.randint(k_dec, (), 0, 2 ** 31 - 1)
-            # weight residency follows the compute dtype: bf16 halves the
-            # kernel's VMEM footprint (weights_dtype arg)
             seg_out = fused_ar_decode(
                 params["decoder"], enc_seg, position, seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
-                weights_dtype=dtype)
+                weights_dtype=kernel_wdt)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
         else:

@@ -76,10 +76,13 @@ def bench_model(cfg, name, P, n, dropout=0.5):
     # policy: params + activations in bf16, fp32 accumulation on the MXU)
     for dt, tag in ((jnp.float32, "scan_fp32_ms"),
                     (jnp.bfloat16, "scan_bf16_ms")):
-        p, e = cast(params, dt), enc_seg.astype(dt)
+        # the compute_dtype policy casts params AND float inputs (position
+        # included — a fp32 leak would promote the scan carry)
+        p, e, pos = cast(params, dt), enc_seg.astype(dt), \
+            position.astype(dt)
         fn = jax.jit(lambda p, s, e, d, pos, fm, k: decoder_inference(
             p, s, cfg, e, d, pos, fm, k))
-        row[tag] = _time(fn, (p, state, e, dur, position, frame_mask, key),
+        row[tag] = _time(fn, (p, state, e, dur, pos, frame_mask, key),
                          n) * 1e3
 
     # --- fused Pallas kernel (only where weights fit in VMEM)

@@ -130,6 +130,27 @@ def main(argv=None):
         decode_and_eval(ckpt_s, "student_pred_dur")
         decode_and_eval(ckpt_s, "student_gt_dur", ["--use-gt-durations"])
 
+    # calibration floors: MCD of predicting the train-mean frame, and of
+    # comparing mismatched utterances — the corpus has irreducible
+    # stochastic excitation (noise-shaped fricatives, jitter), so absolute
+    # MCD must be read against these bounds
+    import numpy as np
+    from fcl_taco2_tpu.data import load_manifest
+    from fcl_taco2_tpu.data.manifest import _load_feat
+    from fcl_taco2_tpu.infer.metrics import mel_cepstral_distortion
+    mean, std = np.load(os.path.join(feat, "mel_stats.npy"))
+    test_utts = load_manifest(os.path.join(feat, "test_data.json"))
+    mels = [_load_feat(u.mel_path, u.filetypes[0]) * std + mean
+            for u in test_utts]
+    floors = {
+        "predict_mean_mcd": float(np.mean([
+            mel_cepstral_distortion(np.broadcast_to(mean, m.shape), m)
+            for m in mels])),
+        "mismatched_utterance_mcd": float(np.mean([
+            mel_cepstral_distortion(mels[(i + 1) % len(mels)], m)
+            for i, m in enumerate(mels)])),
+    }
+
     import jax
     payload = {
         "protocol": {
@@ -143,12 +164,15 @@ def main(argv=None):
                      "(256-d student), bf16 compute",
             "checkpoint": "model.loss.best",
             "features": "80 mel / 1024 fft / 256 hop / 22.05 kHz",
-            "mcd": "dB, DCT-II cepstra c1..c13, trim-to-min alignment",
+            "mcd": "dB over DENORMALIZED log-mels (fcl_eval auto-applies "
+                   "mel_stats.npy), DCT-II cepstra c1..c13, trim-to-min "
+                   "alignment",
             "backend": jax.default_backend(),
         },
         "teacher_train_wall_sec": train_sec and round(train_sec, 1),
         "kd_train_wall_sec": kd_sec and round(kd_sec, 1),
         "total_wall_sec": round(time.time() - t_start, 1),
+        "floors": floors,
         "results": results,
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
