@@ -108,6 +108,51 @@ def bench_model(cfg, name, P, n, dropout=0.5):
     return row
 
 
+def bench_train_path(cfg, name, B, n):
+    """Teacher-forced decoder (the TRAINING hot loop) under the XLA scan:
+    forward and forward+backward cost, to bound what a fused training
+    kernel could possibly win.  Residency cannot apply to the teacher
+    (weights > VMEM) and a student training kernel would need a custom
+    VJP; this records the measured ceiling for that investment."""
+    import jax
+
+    from fcl_taco2_tpu.models.decoder import decoder_teacher_forced
+    from fcl_taco2_tpu.ops.regroup import build_plan
+
+    rng = np.random.default_rng(0)
+    Tmax = 48
+    D = cfg.max_dur
+    durations = np.clip(rng.poisson(8, (B, Tmax)), 1, D).astype(np.int32)
+    olens = durations.sum(1).astype(np.int32)
+    Lmax = int(np.ceil(olens.max() / 64) * 64)
+    plan = build_plan(durations, olens, D, B * Tmax, Lmax)
+    P = len(plan.seg_utt)
+    enc_seg = jnp.asarray(
+        rng.normal(size=(P, cfg.dec_idim)).astype(np.float32))
+    seg_targets = jnp.asarray(
+        rng.normal(size=(P, D, cfg.odim)).astype(np.float32))
+    params, state = jax.jit(
+        lambda k: decoder_init(k, cfg))(jax.random.PRNGKey(0))
+    key = jax.random.PRNGKey(1)
+
+    def fwd(params):
+        after, before, _, _ = decoder_teacher_forced(
+            params, state, cfg, enc_seg, seg_targets,
+            jnp.asarray(plan.position), jnp.asarray(plan.frame_mask),
+            jnp.asarray(plan.utt_gather), jnp.asarray(plan.utt_mask),
+            key, train=True)
+        return jnp.mean(jnp.abs(after)) + jnp.mean(jnp.abs(before))
+
+    f_fwd = jax.jit(fwd)
+    f_grad = jax.jit(jax.grad(fwd))
+    row = {"model": name, "B": B, "P": P, "D": D,
+           "tf_scan_fwd_ms": _time(f_fwd, (params,), n) * 1e3,
+           "tf_scan_fwd_bwd_ms": _time(lambda p: f_grad(p)["feat_out"]["w"],
+                                       (params,), n) * 1e3}
+    print(json.dumps(row))
+    return row
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--reps", type=int, default=30)
@@ -124,6 +169,10 @@ def main(argv=None):
     for P in (128, 512):
         rows.append(bench_model(teacher_config(idim=70), "teacher", P,
                                 args.reps))
+    train_rows = [
+        bench_train_path(teacher_config(idim=70), "teacher", 16, args.reps),
+        bench_train_path(student_config(idim=70), "student", 16, args.reps),
+    ]
     payload = {
         "protocol": {
             "what": "AR decoder loop only (decoder_inference vs "
@@ -133,6 +182,7 @@ def main(argv=None):
             "device": str(jax.devices()[0]),
         },
         "rows": rows,
+        "train_path_rows": train_rows,
         "conclusion": None,  # filled below
     }
     student_wins = [r["best_fused_speedup_vs_best_scan"] for r in rows
@@ -141,11 +191,18 @@ def main(argv=None):
     teacher_fused = any(r["model"] == "teacher"
                         and r["best_fused_speedup_vs_best_scan"]
                         for r in rows)
+    t_tf = train_rows[0]
     payload["conclusion"] = (
         f"fused kernel student speedups {student_wins}; teacher fused "
         + ("ran" if teacher_fused else
            "NOT APPLICABLE (weights exceed VMEM in fp32 and bf16; "
-           "teacher decode uses the XLA scan, bf16 compute is its lever)"))
+           "teacher decode uses the XLA scan, bf16 compute is its lever)")
+        + f"; training path: teacher teacher-forced scan fwd "
+          f"{t_tf['tf_scan_fwd_ms']:.1f} ms / fwd+bwd "
+          f"{t_tf['tf_scan_fwd_bwd_ms']:.1f} ms at B=16 — residency "
+          "cannot apply (weights > VMEM) and a student training kernel "
+          "would need a custom VJP for a fraction of these costs; "
+          "recorded negative result, training keeps the XLA scan")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
