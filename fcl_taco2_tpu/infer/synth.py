@@ -29,8 +29,18 @@ def _round_up(x, mult):
 
 class Synthesizer:
     def __init__(self, model: Tacotron2SA, params, state, batch_size=8,
-                 tok_bucket=32, frame_per_token=16, frame_bucket=256):
+                 tok_bucket=32, frame_per_token=16, frame_bucket=256,
+                 mesh=None):
+        """``mesh``: optional jax Mesh for multi-chip serving — params are
+        replicated, the utterance axis is sharded over all mesh axes (the
+        phoneme-segment axis inside synthesize shards with it: segments
+        are utterance-major, so decode compute stays chip-local).
+        batch_size must divide by the mesh size."""
         self.model = model
+        self.mesh = mesh
+        if mesh is not None and batch_size % mesh.devices.size:
+            raise ValueError(f"batch_size {batch_size} not divisible by "
+                             f"mesh size {mesh.devices.size}")
         # transfer once, through a jitted identity: executable OUTPUT
         # buffers take the fast path on remote-device links, while raw
         # device_put literals can stall the relay for minutes.  Params stay
@@ -38,8 +48,14 @@ class Synthesizer:
         # SLOWER (4.2 vs 3.1 ms) — the compute-dtype cast inside synthesize
         # handles precision policy.
         from fcl_taco2_tpu.utils.device import device_put_via_jit as put
-        self.params = put(params)
-        self.state = put(state)
+        if mesh is None:
+            self.params = put(params)
+            self.state = put(state)
+        else:
+            from fcl_taco2_tpu.parallel.mesh import replicated
+            rep = replicated(mesh)
+            self.params = jax.device_put(params, rep)
+            self.state = jax.device_put(state, rep)
         from fcl_taco2_tpu.utils.device import warmup_transfers
         warmup_transfers()  # absorb the one-time D2H link init here
         self.batch_size = batch_size
@@ -47,6 +63,14 @@ class Synthesizer:
         self.frame_per_token = frame_per_token
         self.frame_bucket = frame_bucket
         self._jitted = {}
+
+    def _put_batch(self, x):
+        """Batch-axis placement: sharded over the mesh when serving
+        multi-chip, plain device transfer otherwise."""
+        if self.mesh is None:
+            return jnp.asarray(x)
+        from fcl_taco2_tpu.parallel.mesh import batch_shardings
+        return jax.device_put(x, batch_shardings(self.mesh))
 
     def _fn(self, B, Tmax, budget, warm_args=None):
         # d_factor is a traced argument of the jitted fn (NOT part of this
@@ -102,8 +126,8 @@ class Synthesizer:
             ilens[i] = len(t)
             if durations is not None:
                 durs[i, :len(t)] = durations[i]
-        dev_args = (self.params, self.state, jnp.asarray(tokens),
-                    jnp.asarray(ilens), jnp.asarray(durs),
+        dev_args = (self.params, self.state, self._put_batch(tokens),
+                    self._put_batch(ilens), self._put_batch(durs),
                     durations is not None, rng,
                     jnp.float32(d_factor))
         fn = self._fn(B, Tmax, budget, warm_args=dev_args)

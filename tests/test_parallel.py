@@ -85,3 +85,25 @@ def test_make_global_batch_single_process_equals_shard_batch():
                     jax.tree_util.tree_leaves(b)):
         assert x.sharding.is_equivalent_to(y.sharding, x.ndim)
         np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+
+
+def test_sharded_serving_matches_single_device():
+    """Multi-chip serving: Synthesizer over an 8-device mesh produces the
+    same mels as single-device (utterance axis sharded, params
+    replicated)."""
+    from fcl_taco2_tpu.infer import Synthesizer
+
+    cfg = tiny_config(dropout_rate=0.0)
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    toks = [np.array([1, 2, 3], np.int32)] * 8
+    durs = [np.array([2, 3, 2], np.int32)] * 8
+    ref = Synthesizer(model, params, state, batch_size=8)
+    mels_1, _ = ref.synth_batch(toks, jax.random.PRNGKey(0),
+                                durations=durs)
+    sharded = Synthesizer(model, params, state, batch_size=8,
+                          mesh=make_mesh(8))
+    mels_8, _ = sharded.synth_batch(toks, jax.random.PRNGKey(0),
+                                    durations=durs)
+    for a, b in zip(mels_1, mels_8):
+        np.testing.assert_allclose(a, b, atol=2e-5)
