@@ -313,6 +313,48 @@ def batched_synth_run():
     return {"batch16_synth_frames_per_sec": round(frames / dt, 1)}
 
 
+def student_batch1_run():
+    """Batch-1 decode on the 256-d student (the paper's deployed model):
+    on TPU this path rides the fused Pallas AR-decoder kernel."""
+    import jax
+    import jax.numpy as jnp
+    from fcl_taco2_tpu.models import Tacotron2SA
+    from fcl_taco2_tpu.models.config import student_config
+
+    cfg = student_config(idim=IDIM, odim=ODIM)
+    model = Tacotron2SA(cfg)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    tokens_np, dur_np = make_inputs()
+
+    @jax.jit
+    def synth_loop(params, state, tokens, ilens, durations, key):
+        def body(i, carry):
+            out = model.synthesize(params, state, tokens, ilens,
+                                   jax.random.fold_in(key, i),
+                                   frame_budget=FRAME_BUDGET,
+                                   durations=durations)
+            return out["mel"], out["olens"]
+
+        return jax.lax.fori_loop(0, N_TIMED, body,
+                                 (jnp.zeros((1, FRAME_BUDGET, ODIM)),
+                                  jnp.zeros(1, jnp.int32)))
+
+    args = (params, state, jnp.asarray(tokens_np[None]),
+            jnp.asarray(np.array([N_PHONES], np.int32)),
+            jnp.asarray(dur_np[None]))
+    mel, olens = synth_loop(*args, jax.random.PRNGKey(1))
+    jax.block_until_ready(mel)  # compile + warm
+    per_call = []
+    for rep in range(3):
+        t0 = time.perf_counter()
+        mel, olens = synth_loop(*args, jax.random.PRNGKey(rep))
+        jax.block_until_ready(mel)
+        per_call.append((time.perf_counter() - t0) / N_TIMED)
+    dt = float(np.median(per_call))
+    frames = int(np.asarray(olens)[0])
+    return {"student_batch1_synth_frames_per_sec": round(frames / dt, 1)}
+
+
 def main():
     protocol = {"n_phones": N_PHONES, "mean_dur": MEAN_DUR,
                 "idim": IDIM, "odim": ODIM}
@@ -334,7 +376,7 @@ def main():
                               frame_budget=FRAME_BUDGET,
                               timing="median of jitted loops, compile "
                                      "excluded, one v5e chip")}
-    for runner in (train_step_run, batched_synth_run):
+    for runner in (train_step_run, batched_synth_run, student_batch1_run):
         try:
             extra.update(runner())
         except Exception as exc:  # keep the primary metric robust

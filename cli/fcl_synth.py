@@ -35,6 +35,9 @@ def get_parser():
                    help="use corpus durations instead of the predictor "
                         "(reference dur= override)")
     p.add_argument("--no-ark", action="store_true")
+    p.add_argument("--n-devices", type=int, default=None,
+                   help="shard the decode batch over this many devices "
+                        "(default 1; batch-size must divide it)")
     return p
 
 
@@ -59,8 +62,12 @@ def main(argv=None):
     params, state = load_params_only(args.model, template_p, template_s)
 
     utts = load_manifest(args.json)
+    mesh = None
+    if args.n_devices and args.n_devices > 1:
+        from fcl_taco2_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(args.n_devices)
     synth = Synthesizer(model, params, state, batch_size=args.batch_size,
-                        frame_per_token=args.frame_per_token)
+                        frame_per_token=args.frame_per_token, mesh=mesh)
     mean_fps = synth.synth_manifest(
         utts, args.out, write_ark=not args.no_ark,
         rng=jax.random.PRNGKey(args.seed),

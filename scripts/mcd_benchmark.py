@@ -182,6 +182,8 @@ def main(argv=None):
         payload["results"] = {**old.get("results", {}), **results}
         for k in ("teacher_train_wall_sec", "kd_train_wall_sec"):
             payload[k] = payload[k] or old.get(k)
+        if "notes" in old:  # hand-curated commentary survives re-runs
+            payload["notes"] = old["notes"]
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
     print(json.dumps(payload["results"], indent=2))
