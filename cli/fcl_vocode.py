@@ -35,16 +35,19 @@ def main(argv=None):
                         "omitted — for smoke runs only)")
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--backend", choices=["auto", "pallas", "xla"],
+                   default="auto",
+                   help="auto = fused streaming Pallas kernel on TPU, "
+                        "exact chunked XLA elsewhere")
     args = p.parse_args(argv)
 
     import jax
     import jax.numpy as jnp
 
     from fcl_taco2_tpu.infer.ark import read_ark_matrix
-    from fcl_taco2_tpu.infer.pipeline import pwg_receptive_field
     from fcl_taco2_tpu.utils.device import warmup_transfers
     from fcl_taco2_tpu.vocoder.pwg import (PWGConfig, load_pwg_checkpoint,
-                                           pwg_generate_chunked, pwg_init)
+                                           pwg_init)
 
     cfg = PWGConfig()
     if args.checkpoint:
@@ -56,12 +59,12 @@ def main(argv=None):
     warmup_transfers()
 
     os.makedirs(args.outdir, exist_ok=True)
-    # chunked vocode (full-utterance PWG OOMs HBM past ~1k mel frames);
-    # mel lengths are bucketed so the jit cache stays small (remote
-    # compiles cost minutes)
-    ctx = -(-pwg_receptive_field(cfg) // cfg.hop) + 1
-    gen = jax.jit(lambda p, m, n: pwg_generate_chunked(
-        p, cfg, m, n, chunk_frames=128, context_frames=ctx))
+    # best vocode path (fused streaming Pallas on TPU, chunked XLA
+    # elsewhere — results/PWG_vocoder.json); mel lengths are bucketed so
+    # the jit cache stays small (remote compiles cost minutes)
+    from fcl_taco2_tpu.vocoder.pwg_pallas import vocode
+    gen = jax.jit(lambda p, m, n: vocode(p, cfg, m, n,
+                                         backend=args.backend))
     key = jax.random.PRNGKey(args.seed)
     with open(args.feats_scp) as f:
         entries = [line.split() for line in f.read().splitlines()]

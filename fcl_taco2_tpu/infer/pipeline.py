@@ -19,8 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from fcl_taco2_tpu.models.taco2_sa import Tacotron2SA
-from fcl_taco2_tpu.vocoder.pwg import (PWGConfig, pwg_generate,
-                                       pwg_generate_chunked)
+from fcl_taco2_tpu.vocoder.pwg import PWGConfig, pwg_generate
 
 
 def pwg_receptive_field(cfg: PWGConfig):
@@ -54,8 +53,6 @@ class TTSPipeline:
         if key not in self._jitted:
             hop = self.pwg_cfg.hop
 
-            ctx = -(-pwg_receptive_field(self.pwg_cfg) // hop) + 1
-
             def fn(params, state, pwg_params, tokens, ilens, key):
                 k1, k2 = jax.random.split(key)
                 out = self.model.synthesize(params, state, tokens, ilens,
@@ -64,12 +61,13 @@ class TTSPipeline:
                 pwg_p = jax.tree_util.tree_map(
                     lambda x: x.astype(dt), pwg_params)
                 noise = jax.random.normal(k2, (B, budget * hop), dt)
-                # chunked vocode: bounded activation memory for long
-                # budgets (full-utterance PWG OOMs HBM past ~1k frames)
-                wav = pwg_generate_chunked(pwg_p, self.pwg_cfg,
-                                           out["mel"].astype(dt), noise,
-                                           chunk_frames=128,
-                                           context_frames=ctx)
+                # best vocode path: fused streaming Pallas kernel on TPU
+                # (3.4-10x the XLA graph, results/PWG_vocoder.json),
+                # exact receptive-field chunking elsewhere — both bound
+                # activation memory for long budgets
+                from fcl_taco2_tpu.vocoder.pwg_pallas import vocode
+                wav = vocode(pwg_p, self.pwg_cfg,
+                             out["mel"].astype(dt), noise)
                 return (wav.astype(jnp.float32), out["olens"] * hop,
                         out["olens"])
 

@@ -104,18 +104,23 @@ def upsample_mel(params, cfg: PWGConfig, mel):
     """(B, T, aux) -> (B, T*hop, aux): context conv + stretch/smooth chain.
 
     Matches kan-bayashi ConvInUpsampleNetwork: conv_in (no bias) then per
-    scale nearest-stretch + (1, 2s+1) conv2d smoothing (no bias)."""
-    c = conv1d(mel, params["conv_in"]["kernel"])
-    x = c[:, None]  # (B, 1, T, aux) — 2d layout: channel=1, H=time
+    scale nearest-stretch + (2s+1)-tap smoothing (no bias).  The smoothing
+    kernel is identical for every mel channel, so it runs as a DEPTHWISE
+    1D conv over (B, W, aux) — the earlier NCHW conv2d formulation drove
+    XLA into a pathological padded layout at batch > 1."""
+    x = conv1d(mel, params["conv_in"]["kernel"])  # (B, T, A)
+    A = x.shape[-1]
     for scale, up in zip(cfg.upsample_scales, params["upsample"]):
-        B, C, T, A = x.shape
-        x = jnp.repeat(x, scale, axis=2)  # nearest stretch along time
-        k = up["kernel"]  # (1, 1, 2s+1, 1) (OIHW-ish: out,in,h,w)
-        pad = (k.shape[2] - 1) // 2
+        x = jnp.repeat(x, scale, axis=1)  # nearest stretch along time
+        k = up["kernel"]  # (1, 1, 2s+1, 1): taps along dim 2
+        taps = k[0, 0, :, 0]
+        w = jnp.tile(taps[:, None, None], (1, 1, A))  # (2s+1, 1, A)
+        pad = (taps.shape[0] - 1) // 2
         x = jax.lax.conv_general_dilated(
-            x, k, window_strides=(1, 1), padding=[(pad, pad), (0, 0)],
-            dimension_numbers=("NCHW", "OIHW", "NCHW"))
-    return x[:, 0]  # (B, T*hop, aux)
+            x, w, window_strides=(1,), padding=[(pad, pad)],
+            dimension_numbers=("NWC", "WIO", "NWC"),
+            feature_group_count=A)
+    return x  # (B, T*hop, aux)
 
 
 def pwg_generate(params, cfg: PWGConfig, mel, noise):

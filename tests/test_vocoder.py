@@ -98,3 +98,34 @@ def test_vocode_cli(tmp_path):
     with wave.open(os.path.join(out, "utt1.wav")) as f:
         assert f.getframerate() == 22050
         assert f.getnframes() == 7 * 256
+
+
+def test_streaming_kernel_matches_full_interior():
+    """Fused streaming Pallas vocoder (interpret mode): exact match with
+    the full conv graph on all samples except the trailing delay window
+    (different tail-padding convention, pwg_pallas.py docstring)."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcl_taco2_tpu.vocoder.pwg import PWGConfig, pwg_generate, pwg_init
+    from fcl_taco2_tpu.vocoder.pwg_pallas import (_round8,
+                                                  pwg_generate_streaming,
+                                                  total_delay)
+
+    cfg = PWGConfig(layers=6, stacks=2, residual_channels=8,
+                    gate_channels=16, skip_channels=8, aux_channels=5,
+                    upsample_scales=(2, 2))
+    params = pwg_init(jax.random.PRNGKey(0), cfg)
+    B, Tm = 2, 30
+    rng = np.random.default_rng(0)
+    mel = jnp.asarray(rng.normal(size=(B, Tm, 5)).astype(np.float32))
+    noise = jnp.asarray(
+        rng.normal(size=(B, Tm * cfg.hop)).astype(np.float32))
+    want = np.asarray(pwg_generate(params, cfg, mel, noise))
+    got = np.asarray(pwg_generate_streaming(params, cfg, mel, noise,
+                                            tile=16, interpret=True))
+    assert got.shape == want.shape
+    inner = Tm * cfg.hop - _round8(total_delay(cfg))
+    np.testing.assert_allclose(got[:, :inner], want[:, :inner], atol=1e-5)
+    # the tail is a convention difference, not garbage
+    assert np.abs(got[:, inner:]).max() < 10 * np.abs(want).max() + 1.0
