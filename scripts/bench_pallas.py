@@ -58,6 +58,30 @@ def _time(fn, args, n):
     return (time.perf_counter() - t0) / n
 
 
+def _time_injit(fn_of_i, n, reps=3):
+    """Median per-iteration time of an IN-JIT fori_loop of ``fn_of_i``.
+
+    The decoder hot loop is 2-5 ms of device work; per-call dispatch over
+    a remote-attached device adds comparable RTT jitter, so host-loop
+    timing is noise-dominated.  Looping inside one compiled program makes
+    the measurement RTT-free (same protocol as bench.py)."""
+    shape = jax.eval_shape(fn_of_i, jnp.int32(0))
+
+    @jax.jit
+    def loop():
+        return jax.lax.fori_loop(
+            0, n, lambda i, c: fn_of_i(i),
+            jnp.zeros(shape.shape, shape.dtype))
+
+    jax.block_until_ready(loop())  # compile + warm
+    per = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        jax.block_until_ready(loop())
+        per.append((time.perf_counter() - t0) / n)
+    return float(np.median(per))
+
+
 def bench_model(cfg, name, P, n, dropout=0.5):
     params, state = jax.jit(
         lambda k: decoder_init(k, cfg))(jax.random.PRNGKey(0))
@@ -80,10 +104,10 @@ def bench_model(cfg, name, P, n, dropout=0.5):
         # included — a fp32 leak would promote the scan carry)
         p, e, pos = cast(params, dt), enc_seg.astype(dt), \
             position.astype(dt)
-        fn = jax.jit(lambda p, s, e, d, pos, fm, k: decoder_inference(
-            p, s, cfg, e, d, pos, fm, k))
-        row[tag] = _time(fn, (p, state, e, dur, pos, frame_mask, key),
-                         n) * 1e3
+        row[tag] = _time_injit(
+            lambda i, _p=p, _e=e, _pos=pos: decoder_inference(
+                _p, state, cfg, _e, dur, _pos, frame_mask,
+                jax.random.fold_in(key, i)), n) * 1e3
 
     # --- fused Pallas kernel (only where weights fit in VMEM)
     for wdt, tag in ((jnp.float32, "fused_fp32_ms"),
@@ -91,11 +115,12 @@ def bench_model(cfg, name, P, n, dropout=0.5):
         if not fits_vmem(cfg, weights_dtype=wdt):
             row[tag] = None
             continue
-        fn = jax.jit(lambda p, e, pos, s, _w=wdt: fused_ar_decode(
-            p, e, pos, s, zoneout=cfg.zoneout_rate, dropout=dropout,
-            weights_dtype=_w))
         try:
-            row[tag] = _time(fn, (params, enc_seg, position, 0), n) * 1e3
+            row[tag] = _time_injit(
+                lambda i, _w=wdt: fused_ar_decode(
+                    params, enc_seg, position, i,
+                    zoneout=cfg.zoneout_rate, dropout=dropout,
+                    weights_dtype=_w), n) * 1e3
         except Exception as exc:  # record compile failures, don't die
             row[tag] = f"FAILED: {type(exc).__name__}"
 
@@ -176,8 +201,10 @@ def main(argv=None):
     payload = {
         "protocol": {
             "what": "AR decoder loop only (decoder_inference vs "
-                    "fused_ar_decode), D=max_dur steps, median-free mean "
-                    f"of {args.reps} reps after warmup",
+                    f"fused_ar_decode), D=max_dur steps; {args.reps} "
+                    "iterations INSIDE one jitted fori_loop (RTT-free), "
+                    "median of 3 loop calls — host-loop timing of 2-5 ms "
+                    "kernels over the device relay is noise-dominated",
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
