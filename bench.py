@@ -30,6 +30,27 @@ FRAME_BUDGET = 1024
 N_TIMED = 20
 
 
+def _device_time(call, n_iters, reps=3):
+    """Median wall time per iteration of ``call()`` (n_iters of device
+    work, returns a SMALL output array).
+
+    Forces completion with a real host readback: ``jax.block_until_ready``
+    can return EARLY over the axon device relay (observed 0.1 ms readings
+    for a 92 ms train step), so only np.asarray is trusted; the measured
+    readback RTT of an already-ready buffer is subtracted."""
+    out = call()
+    np.asarray(out)  # warm: compile done by caller, buffer now ready
+    t0 = time.perf_counter()
+    np.asarray(out)
+    rtt = time.perf_counter() - t0
+    per = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        np.asarray(call())
+        per.append(max(time.perf_counter() - t0 - rtt, 1e-9))
+    return float(np.median(per)) / n_iters
+
+
 def make_inputs(seed=0):
     rng = np.random.default_rng(seed)
     dur = np.clip(rng.poisson(MEAN_DUR, N_PHONES), 1, MAX_DUR).astype(
@@ -178,19 +199,17 @@ def jax_tpu_run():
 
     key = jax.random.PRNGKey(1)
     out = synth(params, state, tokens, ilens, durations, key)
-    jax.block_until_ready(out["mel"])  # compile + warm
-    np.asarray(out["olens"])  # absorb one-time D2H link init (axon relay)
-    mel, olens = synth_loop(params, state, tokens, ilens, durations, key)
-    jax.block_until_ready(mel)  # compile the loop
+    np.asarray(out["olens"])  # compile + absorb one-time D2H link init
 
-    per_call = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        mel, olens = synth_loop(params, state, tokens, ilens, durations,
-                                jax.random.PRNGKey(rep))
-        jax.block_until_ready(mel)
-        per_call.append((time.perf_counter() - t0) / N_TIMED)
-    dt = float(np.median(per_call))
+    reps = iter(range(100))
+
+    def call():
+        mel, _ = synth_loop(params, state, tokens, ilens, durations,
+                            jax.random.PRNGKey(next(reps)))
+        return mel[0, :1, 0]  # small fetch, depends on the full decode
+
+    dt = _device_time(call, N_TIMED)
+    _, olens = synth_loop(params, state, tokens, ilens, durations, key)
     frames = int(np.asarray(olens)[0])
     return frames / dt, frames, jax.devices()[0].platform
 
@@ -243,19 +262,27 @@ def train_step_run():
     step = make_train_step(model, tx, mesh)
 
     key = jax.random.PRNGKey(1)
-    # two warm calls: the first compiles for host-numpy inputs, the second
-    # for the device-resident carry (signature change = one more compile)
-    ts, report = step(ts, batch, key)
-    jax.block_until_ready(report["loss"])
-    ts, report = step(ts, batch, key)
-    jax.block_until_ready(report["loss"])
+    # N chained steps INSIDE one jitted fori_loop: host-loop timing over
+    # the device relay is noise-dominated (observed 2-647 ms for the same
+    # workload); the carried TrainState forces sequential execution
+    import jax.numpy as jnp
 
+    step_raw = make_train_step(model, tx, mesh, donate=False)
     n = 20
-    t0 = time.perf_counter()
-    for i in range(n):
-        ts, report = step(ts, batch, jax.random.fold_in(key, i))
-    jax.block_until_ready(report["loss"])
-    dt = (time.perf_counter() - t0) / n
+
+    @jax.jit
+    def steps_loop(ts, batch, key):
+        def body(i, carry):
+            ts, _ = carry
+            ts2, report = step_raw(ts, batch, jax.random.fold_in(key, i))
+            return (ts2, report["loss"])
+        return jax.lax.fori_loop(0, n, body, (ts, jnp.float32(0.0)))
+
+    np.asarray(steps_loop(ts, batch, key)[1])  # compile + warm
+    reps = iter(range(100))
+    dt = _device_time(
+        lambda: steps_loop(ts, batch,
+                           jax.random.PRNGKey(next(reps)))[1], n)
 
     frames = int(olens.sum())
     # compiled-program FLOPs (fwd+bwd+update) for MFU
@@ -293,22 +320,25 @@ def batched_synth_run():
     tokens = rng.integers(1, IDIM, (B, N_PHONES)).astype(np.int32)
     ilens = np.full(B, N_PHONES, np.int32)
 
+    n = 10
+
     @jax.jit
-    def synth(params, state, tokens, ilens, durations, key):
-        return model.synthesize(params, state, tokens, ilens, key,
-                                frame_budget=FRAME_BUDGET,
-                                durations=durations)
+    def synth_loop(params, state, tokens, ilens, durations, key):
+        def body(i, c):
+            out = model.synthesize(params, state, tokens, ilens,
+                                   jax.random.fold_in(key, i),
+                                   frame_budget=FRAME_BUDGET,
+                                   durations=durations)
+            return out["mel"][0, :1, 0]
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(1))
 
     args = (params, state, jnp.asarray(tokens), jnp.asarray(ilens),
             jnp.asarray(dur))
-    out = synth(*args, jax.random.PRNGKey(1))
-    jax.block_until_ready(out["mel"])  # compile + warm
-    n = 10
-    t0 = time.perf_counter()
-    for i in range(n):
-        out = synth(*args, jax.random.PRNGKey(i))
-    jax.block_until_ready(out["mel"])
-    dt = (time.perf_counter() - t0) / n
+    np.asarray(synth_loop(*args, jax.random.PRNGKey(1)))
+    reps = iter(range(100))
+    dt = _device_time(
+        lambda: synth_loop(*args, jax.random.PRNGKey(next(reps))), n)
     frames = int(dur.sum())
     return {"batch16_synth_frames_per_sec": round(frames / dt, 1)}
 
@@ -343,16 +373,69 @@ def student_batch1_run():
             jnp.asarray(np.array([N_PHONES], np.int32)),
             jnp.asarray(dur_np[None]))
     mel, olens = synth_loop(*args, jax.random.PRNGKey(1))
-    jax.block_until_ready(mel)  # compile + warm
-    per_call = []
-    for rep in range(3):
-        t0 = time.perf_counter()
-        mel, olens = synth_loop(*args, jax.random.PRNGKey(rep))
-        jax.block_until_ready(mel)
-        per_call.append((time.perf_counter() - t0) / N_TIMED)
-    dt = float(np.median(per_call))
+    np.asarray(mel[0, :1, 0])  # compile + warm
+    reps = iter(range(100))
+    dt = _device_time(
+        lambda: synth_loop(*args, jax.random.PRNGKey(next(reps)))
+        [0][0, :1, 0], N_TIMED)
     frames = int(np.asarray(olens)[0])
     return {"student_batch1_synth_frames_per_sec": round(frames / dt, 1)}
+
+
+def e2e_tts_run():
+    """Full text->wav pipeline (student acoustic model + PWG vocoder via
+    the fused streaming Pallas kernel) in ONE jitted program, batch 16:
+    the production serving configuration."""
+    import jax
+    import jax.numpy as jnp
+    from fcl_taco2_tpu.models import Tacotron2SA
+    from fcl_taco2_tpu.models.config import student_config
+    from fcl_taco2_tpu.vocoder.pwg import PWGConfig, pwg_init
+    from fcl_taco2_tpu.vocoder.pwg_pallas import vocode
+
+    cfg = student_config(idim=IDIM, odim=ODIM)
+    model = Tacotron2SA(cfg)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    pwg_cfg = PWGConfig()
+    pwg = jax.jit(lambda k: pwg_init(k, pwg_cfg))(jax.random.PRNGKey(1))
+
+    B = TRAIN_B
+    rng = np.random.default_rng(0)
+    dur = np.clip(rng.poisson(MEAN_DUR, (B, N_PHONES)), 1, MAX_DUR).astype(
+        np.int32)
+    tokens = rng.integers(1, IDIM, (B, N_PHONES)).astype(np.int32)
+    ilens = np.full(B, N_PHONES, np.int32)
+    hop = pwg_cfg.hop
+
+    def tts(params, state, pwg, tokens, ilens, durations, key):
+        k1, k2 = jax.random.split(key)
+        out = model.synthesize(params, state, tokens, ilens, k1,
+                               frame_budget=FRAME_BUDGET,
+                               durations=durations)
+        noise = jax.random.normal(k2, (B, FRAME_BUDGET * hop))
+        wav = vocode(pwg, pwg_cfg, out["mel"], noise)
+        return wav, out["olens"]
+
+    n = 5
+
+    @jax.jit
+    def tts_loop(params, state, pwg, tokens, ilens, durations, key):
+        def body(i, c):
+            wav, _ = tts(params, state, pwg, tokens, ilens, durations,
+                         jax.random.fold_in(key, i))
+            return wav[0, :1]
+
+        return jax.lax.fori_loop(0, n, body, jnp.zeros(1))
+
+    args = (params, state, pwg, jnp.asarray(tokens), jnp.asarray(ilens),
+            jnp.asarray(dur))
+    olens = jax.jit(lambda *a: tts(*a)[1])(*args, jax.random.PRNGKey(2))
+    np.asarray(tts_loop(*args, jax.random.PRNGKey(2)))  # compile + warm
+    reps = iter(range(100))
+    dt = _device_time(
+        lambda: tts_loop(*args, jax.random.PRNGKey(next(reps))), n)
+    audio_sec = float(np.asarray(olens).sum()) * hop / 22050.0
+    return {"e2e_tts_batch16_x_realtime": round(audio_sec / dt, 1)}
 
 
 def main():
@@ -376,7 +459,8 @@ def main():
                               frame_budget=FRAME_BUDGET,
                               timing="median of jitted loops, compile "
                                      "excluded, one v5e chip")}
-    for runner in (train_step_run, batched_synth_run, student_batch1_run):
+    for runner in (train_step_run, batched_synth_run, student_batch1_run,
+                   e2e_tts_run):
         try:
             extra.update(runner())
         except Exception as exc:  # keep the primary metric robust

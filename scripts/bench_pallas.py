@@ -64,21 +64,28 @@ def _time_injit(fn_of_i, n, reps=3):
     The decoder hot loop is 2-5 ms of device work; per-call dispatch over
     a remote-attached device adds comparable RTT jitter, so host-loop
     timing is noise-dominated.  Looping inside one compiled program makes
-    the measurement RTT-free (same protocol as bench.py)."""
+    the measurement RTT-free, and completion is forced by a REAL host
+    readback (jax.block_until_ready can return early over the relay) with
+    the readback RTT subtracted."""
     shape = jax.eval_shape(fn_of_i, jnp.int32(0))
 
     @jax.jit
     def loop():
-        return jax.lax.fori_loop(
+        out = jax.lax.fori_loop(
             0, n, lambda i, c: fn_of_i(i),
             jnp.zeros(shape.shape, shape.dtype))
+        return jnp.ravel(out)[:8]  # small fetch, depends on the loop
 
-    jax.block_until_ready(loop())  # compile + warm
+    out = loop()
+    np.asarray(out)  # compile + warm
+    t0 = time.perf_counter()
+    np.asarray(out)
+    rtt = time.perf_counter() - t0
     per = []
     for _ in range(reps):
         t0 = time.perf_counter()
-        jax.block_until_ready(loop())
-        per.append((time.perf_counter() - t0) / n)
+        np.asarray(loop())
+        per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / n)
     return float(np.median(per))
 
 

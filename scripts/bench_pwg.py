@@ -64,13 +64,20 @@ def main(argv=None):
         for name, fn in paths.items():
             row = {"path": name, "B": B, "frames": T}
             try:
-                out = fn(params, mel, noise)
-                jax.block_until_ready(out)
+                # completion is forced by a REAL host readback of a small
+                # slice (jax.block_until_ready can return early over the
+                # axon relay); the readback RTT is measured and subtracted
+                out = fn(params, mel, noise)[0, :8]
+                np.asarray(out)  # compile + warm
                 t0 = time.perf_counter()
+                np.asarray(out)
+                rtt = time.perf_counter() - t0
+                per = []
                 for _ in range(args.reps):
-                    out = fn(params, mel, noise)
-                jax.block_until_ready(out)
-                dt = (time.perf_counter() - t0) / args.reps
+                    t0 = time.perf_counter()
+                    np.asarray(fn(params, mel, noise)[0, :8])
+                    per.append(time.perf_counter() - t0 - rtt)
+                dt = float(np.median(per))
                 sps = B * T * hop / dt
                 row.update(ms=round(dt * 1e3, 1),
                            msamples_per_sec=round(sps / 1e6, 2),
