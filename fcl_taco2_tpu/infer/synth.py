@@ -77,12 +77,42 @@ class Synthesizer:
         # cache key): changing the speaking rate costs zero recompiles
         key = (B, Tmax, budget)
         if key not in self._jitted:
+            def make_core(use_dur):
+                def core(params, state, tokens, ilens, durations, key,
+                         d_factor):
+                    return self.model.synthesize(
+                        params, state, tokens, ilens, key,
+                        frame_budget=budget,
+                        durations=durations if use_dur else None,
+                        d_factor=d_factor)
+                return core
+
+            if self.mesh is not None and self.mesh.devices.size > 1:
+                # explicit SPMD: every op in synthesize is batch-parallel,
+                # so each chip runs the WHOLE program on its shard of the
+                # utterance axis (shard_map, params replicated).  This
+                # also keeps the fused Pallas decoder usable per chip —
+                # implicit jit partitioning has no SPMD rule for the
+                # custom call.  The PRNG key is replicated, so the
+                # always-on prenet dropout draws per-shard (stochastic
+                # inference either way, decoder_sa.py:109-112).
+                from jax.experimental.shard_map import shard_map
+                from jax.sharding import PartitionSpec as P
+
+                b, r = P(tuple(self.mesh.axis_names)), P()
+
+                def wrap(use_dur):
+                    return shard_map(make_core(use_dur), mesh=self.mesh,
+                                     in_specs=(r, r, b, b, b, r, r),
+                                     out_specs=b, check_rep=False)
+                cores = {True: wrap(True), False: wrap(False)}
+            else:
+                cores = {True: make_core(True), False: make_core(False)}
+
             def fn(params, state, tokens, ilens, durations, use_dur, key,
                    d_factor):
-                return self.model.synthesize(
-                    params, state, tokens, ilens, key, frame_budget=budget,
-                    durations=durations if use_dur else None,
-                    d_factor=d_factor)
+                return cores[use_dur](params, state, tokens, ilens,
+                                      durations, key, d_factor)
             jitted = jax.jit(fn, static_argnames=("use_dur",))
             if warm_args is not None:
                 # exclude compile time from the speed metric (the reference
