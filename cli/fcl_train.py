@@ -31,6 +31,12 @@ def get_parser():
     p.add_argument("--resume", type=str, default=None)
     p.add_argument("--minibatches", type=int, default=0)
     p.add_argument("--verbose", type=int, default=0)
+    p.add_argument("--debugmode", type=int, default=1,
+                   help="reference-compat knob (tts_train.py:59): runs "
+                        "are always deterministic here; >=2 additionally "
+                        "enables jax_debug_nans (fail fast at the op "
+                        "that produced a NaN instead of the step-level "
+                        "guard)")
     p.add_argument("--profile-dir", type=str, default=None,
                    help="capture an XLA trace of the first epoch")
     # model (names match e2e_tts_tacotron2_sa.py:138-287)
@@ -193,6 +199,10 @@ def main(argv=None):
         level=level,
         format="%(asctime)s (%(module)s:%(lineno)d) %(levelname)s: "
                "%(message)s")
+
+    if args.debugmode >= 2:
+        import jax
+        jax.config.update("jax_debug_nans", True)
 
     from fcl_taco2_tpu.data import load_manifest
     from fcl_taco2_tpu.models import Tacotron2SA
