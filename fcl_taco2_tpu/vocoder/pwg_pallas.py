@@ -1,15 +1,16 @@
 """Streaming Parallel-WaveGAN generator as one Pallas TPU kernel.
 
-Measured on one quiet v5e chip with readback-forced timing
-(results/PWG_vocoder.json): **2.9 Msamples/s at B=1 (133x realtime,
-1.4x the XLA graph) and 14.1 Msamples/s at B=8 (641x realtime, 6.8x)**.
-The whole 30-block stack's weights (~5.3 MB) stay resident in VMEM and
-activations never touch HBM; the XLA graph round-trips every block's
-(W, 128) activations through HBM instead, and flat-lines at ~2 Ms/s
-regardless of batch.  It is also a TRUE streaming vocoder: waveform
-emerges tile by tile with a fixed ~total_delay(cfg)/sr (~139 ms)
-algorithmic latency and O(1) memory in utterance length — the XLA full
-graph OOMs HBM at batch 8 x 512 frames, this kernel does not care.
+Measured on one quiet v5e chip — reps inside one jitted fori_loop with
+fresh per-iteration noise, completion forced by host readback, RTT
+subtracted (results/PWG_vocoder.json): **11.9 Msamples/s at B=1 (541x
+realtime, 3.8x the XLA graph) and 22.2 Msamples/s at B=8 (1009x
+realtime, 8.0x)**.  The whole 30-block stack's weights (~5.3 MB) stay
+resident in VMEM and activations never touch HBM; the XLA graph
+round-trips every block's (W, 128) activations through HBM instead and
+flat-lines at ~2-3 Ms/s regardless of batch.  It is also a TRUE
+streaming vocoder: waveform emerges tile by tile with a fixed
+~total_delay(cfg)/sr (~139 ms) algorithmic latency and O(1) memory in
+utterance length.
 
 How (causal reformulation): a 'same'-padded dilated conv needs d future
 samples (d = dilation; kernel 3).  Each layer is re-indexed as a CAUSAL

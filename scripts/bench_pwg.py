@@ -64,19 +64,34 @@ def main(argv=None):
         for name, fn in paths.items():
             row = {"path": name, "B": B, "frames": T}
             try:
-                # completion is forced by a REAL host readback of a small
-                # slice (jax.block_until_ready can return early over the
-                # axon relay); the readback RTT is measured and subtracted
-                out = fn(params, mel, noise)[0, :8]
+                # reps INSIDE one jitted fori_loop (per-call dispatch over
+                # the device relay costs ~30 ms — comparable to the work);
+                # fresh noise per iteration so nothing is loop-hoisted,
+                # completion forced by a REAL host readback
+                # (jax.block_until_ready can return early over the relay)
+                n_it = args.reps
+
+                @jax.jit
+                def loop(p, m, key, _fn=fn):
+                    def body(i, c):
+                        nz = jax.random.normal(
+                            jax.random.fold_in(key, i), (B, T * hop))
+                        return _fn(p, m, nz)[0, :8]
+                    return jax.lax.fori_loop(0, n_it, body,
+                                             jnp.zeros(8))
+
+                out = loop(params, mel, jax.random.PRNGKey(0))
                 np.asarray(out)  # compile + warm
                 t0 = time.perf_counter()
                 np.asarray(out)
                 rtt = time.perf_counter() - t0
                 per = []
-                for _ in range(args.reps):
+                for rep in range(3):
                     t0 = time.perf_counter()
-                    np.asarray(fn(params, mel, noise)[0, :8])
-                    per.append(time.perf_counter() - t0 - rtt)
+                    np.asarray(loop(params, mel,
+                                    jax.random.PRNGKey(rep + 1)))
+                    per.append(
+                        (time.perf_counter() - t0 - rtt) / n_it)
                 dt = float(np.median(per))
                 sps = B * T * hop / dt
                 row.update(ms=round(dt * 1e3, 1),
