@@ -158,7 +158,13 @@ def pwg_generate_chunked(params, cfg: PWGConfig, mel, noise,
     Full-utterance PWG keeps ~30 layers of (T*hop, gate) activations alive
     (OOM for long budgets); chunking caps live activations at
     O(chunk + 2*context).  With context >= the receptive field the output
-    equals full-utterance vocoding (tests/test_pipeline.py).
+    equals full-utterance vocoding in the INTERIOR; the first/last
+    ~receptive-field samples of the whole utterance follow a static-pad
+    convention instead (the zero-noise pad region carries first_conv bias
+    where the full graph's implicit 'same' padding is literal zeros) —
+    a sub-millisecond, ~-45 dB edge effect.  The generator-style
+    ``infer.pipeline.vocode_chunked`` clamps windows to the utterance and
+    is edge-exact, at the cost of dynamic shapes.
 
     mel (B, T, aux), noise (B, T*hop) -> (B, T*hop).
     """

@@ -228,7 +228,9 @@ def vocode(params, cfg: PWGConfig, mel, noise, backend: str = "auto",
     if backend == "pallas":
         return pwg_generate_streaming(params, cfg, mel, noise, tile=tile)
     from fcl_taco2_tpu.vocoder.pwg import pwg_generate_chunked
-    # one-sided receptive field == total_delay; +1 frame of slack
-    ctx = -(-total_delay(cfg) // cfg.hop) + 1
+    # one-sided receptive field: conv stack (== total_delay samples) PLUS
+    # the mel-grid context of conv_in and the upsample smoothing convs
+    ctx = (-(-total_delay(cfg) // cfg.hop) + cfg.aux_context_window
+           + sum(cfg.upsample_scales) + 1)
     return pwg_generate_chunked(params, cfg, mel, noise,
                                 chunk_frames=128, context_frames=ctx)

@@ -129,3 +129,29 @@ def test_streaming_kernel_matches_full_interior():
     np.testing.assert_allclose(got[:, :inner], want[:, :inner], atol=1e-5)
     # the tail is a convention difference, not garbage
     assert np.abs(got[:, inner:]).max() < 10 * np.abs(want).max() + 1.0
+
+
+def test_vocode_dispatch_cpu_uses_exact_chunked():
+    """vocode(backend='auto') falls back to the chunked XLA path off TPU:
+    exact vs the full conv graph in the interior; the first/last
+    ~receptive-field samples follow the static-pad convention (the
+    zero-noise pad region carries first_conv bias where the full graph's
+    implicit 'same' padding is literal zeros) and are only bounded."""
+    import jax
+    import jax.numpy as jnp
+
+    from fcl_taco2_tpu.vocoder.pwg import PWGConfig, pwg_generate, pwg_init
+    from fcl_taco2_tpu.vocoder.pwg_pallas import total_delay, vocode
+
+    cfg = PWGConfig(layers=6, stacks=2, residual_channels=8,
+                    gate_channels=16, skip_channels=8, aux_channels=5,
+                    upsample_scales=(2, 2))
+    params = pwg_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(3)
+    mel = jnp.asarray(rng.normal(size=(2, 40, 5)).astype(np.float32))
+    noise = jnp.asarray(rng.normal(size=(2, 160)).astype(np.float32))
+    want = np.asarray(pwg_generate(params, cfg, mel, noise))
+    got = np.asarray(vocode(params, cfg, mel, noise, backend="auto"))
+    rf = 2 * total_delay(cfg) + 8 * cfg.hop  # conv + mel-grid reach
+    np.testing.assert_allclose(got[:, rf:-rf], want[:, rf:-rf], atol=1e-5)
+    assert np.abs(got - want).max() < 0.1 * np.abs(want).max() + 1e-3
