@@ -96,7 +96,12 @@ class Synthesizer:
                 # custom call.  The PRNG key is replicated, so the
                 # always-on prenet dropout draws per-shard (stochastic
                 # inference either way, decoder_sa.py:109-112).
-                from jax.experimental.shard_map import shard_map
+                try:  # stable since jax 0.8 (check_rep -> check_vma)
+                    from jax import shard_map
+                    check_kw = {"check_vma": False}
+                except ImportError:
+                    from jax.experimental.shard_map import shard_map
+                    check_kw = {"check_rep": False}
                 from jax.sharding import PartitionSpec as P
 
                 b, r = P(tuple(self.mesh.axis_names)), P()
@@ -104,7 +109,7 @@ class Synthesizer:
                 def wrap(use_dur):
                     return shard_map(make_core(use_dur), mesh=self.mesh,
                                      in_specs=(r, r, b, b, b, r, r),
-                                     out_specs=b, check_rep=False)
+                                     out_specs=b, **check_kw)
                 cores = {True: wrap(True), False: wrap(False)}
             else:
                 cores = {True: make_core(True), False: make_core(False)}

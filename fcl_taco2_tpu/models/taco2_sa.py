@@ -340,28 +340,32 @@ class Tacotron2SA:
         pallas_compatible = (cfg.prenet_layers == 2 and cfg.append_position
                              and cfg.use_concate and cfg.dlayers == 2
                              and cfg.reduction_factor == 1)
+        from fcl_taco2_tpu.ops.decoder_pallas import fits_vmem
+        # residency policy (results/PALLAS_decoder.json): fp32 weights
+        # are FASTER than bf16 in-kernel (the per-step activation cast
+        # costs more than the halved residency buys), so prefer fp32
+        # whenever it fits and fall back to bf16 only to fit VMEM
+        if fits_vmem(cfg, D):
+            kernel_wdt = jnp.float32
+        elif fits_vmem(cfg, D, weights_dtype=jnp.bfloat16):
+            kernel_wdt = jnp.bfloat16
+        else:
+            kernel_wdt = None
         if decoder_backend == "auto":
-            from fcl_taco2_tpu.ops.decoder_pallas import fits_vmem
-            # residency policy (results/PALLAS_decoder.json): fp32 weights
-            # are FASTER than bf16 in-kernel (the per-step activation cast
-            # costs more than the halved residency buys), so prefer fp32
-            # whenever it fits and fall back to bf16 only to fit VMEM
-            if fits_vmem(cfg, D):
-                kernel_wdt = jnp.float32
-            elif fits_vmem(cfg, D, weights_dtype=jnp.bfloat16):
-                kernel_wdt = jnp.bfloat16
-            else:
-                kernel_wdt = None
             use_pallas = (jax.default_backend() == "tpu"
                           and pallas_compatible and kernel_wdt is not None)
         else:
             use_pallas = decoder_backend == "pallas"
-            kernel_wdt = jnp.float32
             if use_pallas and not pallas_compatible:
                 raise ValueError(
                     "decoder_backend='pallas' requires prenet_layers=2, "
                     "append_position, use_concate, dlayers=2 and "
                     "reduction_factor=1")
+            if use_pallas and kernel_wdt is None:
+                raise ValueError(
+                    "decoder_backend='pallas' but the decoder weights fit "
+                    "VMEM in neither fp32 nor bf16 (ops/decoder_pallas."
+                    "fits_vmem); use decoder_backend='auto' or 'scan'")
         if use_pallas:
             # fused Pallas AR loop: decoder weights stay resident in VMEM
             # across all D steps (ops/decoder_pallas.py; 2-2.7x vs scan

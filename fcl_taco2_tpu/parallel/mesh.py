@@ -59,13 +59,26 @@ def make_hybrid_mesh(n_slices: int,
     n_total = n_slices * devices_per_slice
     if len(devices) < n_total:
         raise ValueError(f"need {n_total} devices, have {len(devices)}")
-    try:  # real multi-slice TPU: honor ICI/DCN topology
+    has_slice_topology = any(
+        getattr(d, "slice_index", None) is not None
+        for d in devices[:n_total])
+    if has_slice_topology:
+        # real multi-slice TPU: honor ICI/DCN topology.  A failure here is
+        # NOT silently papered over — a flat reshape on real multi-slice
+        # hardware could put the 'data' axis across DCN, a large perf
+        # cliff with no signal.
         from jax.experimental import mesh_utils
         dev_grid = mesh_utils.create_hybrid_device_mesh(
             (devices_per_slice,), (n_slices,), devices=devices[:n_total])
         # create_hybrid_device_mesh puts the DCN axis FIRST
         dev_grid = dev_grid.reshape(n_slices, devices_per_slice)
-    except Exception:  # single-slice / CPU backend: flat reshape
+    else:  # single-slice / CPU backend: flat reshape is topology-exact
+        if devices[0].platform == "tpu" and n_slices > 1:
+            import warnings
+            warnings.warn(
+                "make_hybrid_mesh: TPU backend reports no slice topology "
+                "(device.slice_index missing); using a flat device reshape "
+                "— verify the 'data' axis stays ICI-contiguous")
         dev_grid = np.asarray(devices[:n_total]).reshape(
             n_slices, devices_per_slice)
     return Mesh(dev_grid, (REPLICA_AXIS, DATA_AXIS))

@@ -177,7 +177,19 @@ class Trainer:
         # (potentially minutes-long) init/step compile must be caught too
         preempt = threading.Event()
         prev_handlers = {}
-        if t.checkpoint_on_signal and \
+        want_handler = t.checkpoint_on_signal
+        if want_handler and jax.process_count() > 1:
+            # Multi-host: a SIGTERM landing on ONE process would make it
+            # break out of the step loop while its peers keep issuing
+            # collectives — a deadlock — and all processes would race on
+            # the same snapshot.preempt.  Cross-host preemption agreement
+            # (an all-reduced flag) is future work; until then the feature
+            # is single-host only.
+            print("checkpoint_on_signal: disabled on multi-process runs "
+                  "(uncoordinated preemption would deadlock peers)",
+                  flush=True)
+            want_handler = False
+        if want_handler and \
                 threading.current_thread() is threading.main_thread():
             def _on_signal(signum, frame):
                 print(f"signal {signum}: checkpointing after the in-flight "
