@@ -74,18 +74,25 @@ def decoder_init(key, cfg):
     return params, state
 
 
-def _lstm_stack_step(params, cfg, x_t, carry, zo_key, train):
+def _lstm_stack_step(params, cfg, x_t, carry, zo_key, train, xproj0=None):
     """One step of the dlayers-deep zoneout-LSTM stack.
 
     ``carry`` is a flat tuple (h0, c0, h1, c1, ...); layer i>0 consumes
-    h_{i-1} (decoder_sa.py:500-504)."""
+    h_{i-1} (decoder_sa.py:500-504).  ``xproj0`` — the hoisted layer-0
+    input projection ``x_t @ wx0 + bx0`` (see callers) — replaces ``x_t``;
+    only layer 0's input GEMM can be hoisted (layers >0 consume the
+    carry-dependent h_{i-1})."""
     use_zo = train and cfg.zoneout_rate > 0.0
     zo_keys = random.split(zo_key, 2 * cfg.dlayers) if use_zo else None
     new_carry = []
     inp = x_t
     for i in range(cfg.dlayers):
         h, c = carry[2 * i], carry[2 * i + 1]
-        nh, nc = lstm_cell(C.as_lstm(params[f"lstm{i}"]), inp, h, c)
+        if i == 0 and xproj0 is not None:
+            nh, nc = lstm_cell(C.as_lstm(params["lstm0"]), None, h, c,
+                               precomputed_xproj=xproj0)
+        else:
+            nh, nc = lstm_cell(C.as_lstm(params[f"lstm{i}"]), inp, h, c)
         kh = zo_keys[2 * i] if use_zo else None
         kc = zo_keys[2 * i + 1] if use_zo else None
         nh = zoneout(h, nh, cfg.zoneout_rate, train=train, rng=kh)
@@ -95,10 +102,27 @@ def _lstm_stack_step(params, cfg, x_t, carry, zo_key, train):
     return tuple(new_carry)
 
 
-def _feat_out(params, cfg, z_last, enc_seg):
-    zcs = jnp.concatenate([z_last, enc_seg], axis=-1) if cfg.use_concate \
-        else z_last
-    return zcs @ params["feat_out"]["w"]  # (P, odim*r)
+def _split_lstm0_wx(params, cfg, idim):
+    """Row blocks of lstm0's packed input weight for the concat order
+    [enc_seg, prenet_out, position] (see decoder_init lstm0_in): splitting
+    the concat-GEMM into partial matmuls lets the step-invariant enc part
+    be computed ONCE outside the scan (mirror of the fused Pallas kernel's
+    enc_gates hoist, ops/decoder_pallas.py:59)."""
+    wx0 = params["lstm0"]["wx"]
+    u = cfg.effective_prenet_units
+    w_enc = wx0[:idim]
+    w_pre = wx0[idim:idim + u]
+    w_pos = wx0[idim + u] if cfg.append_position else None  # (4H,) row
+    return w_enc, w_pre, w_pos
+
+
+def _split_feat_out(params, cfg):
+    """feat_out row blocks for concat order [z_last, enc_seg]
+    (decoder_init feat_in; torch layout parity with decoder_sa.py:398)."""
+    wf = params["feat_out"]["w"]
+    if not cfg.use_concate:
+        return wf, None
+    return wf[:cfg.dunits], wf[cfg.dunits:]
 
 
 def _zero_carry(P, cfg, dtype):
@@ -167,14 +191,41 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
     zo_keys = random.split(k_zo, S) if (train and cfg.zoneout_rate > 0) else \
         jnp.zeros((S, 2), jnp.uint32)
 
+    # step positions: the reference indexes the frame ramp by step index
+    # (decoder_sa.py:497-498); identical to per-frame positions at r=1
+    pos_steps = position[:, :S]
+
+    # HOIST the step-invariant GEMMs out of the scan (the mirror of the
+    # fused Pallas kernel's enc_gates/enc_out hoist,
+    # ops/decoder_pallas.py:59-60): the enc half of layer 0's input
+    # projection and the enc half of feat_out are carry-independent and
+    # computed ONCE; the scan body keeps the small per-step prenet-gate
+    # GEMM (units wide) plus the recurrent h @ Wh matmuls.  The reference
+    # instead re-runs torch LSTMCell's full input GEMM per step
+    # (decoder_sa.py:493-513).
+    #
+    # Measured negative (v5e, teacher B=16, chained-train-step protocol,
+    # bench.py train_step_run): hoisting the prenet gates too —
+    # materializing ALL (P, S, 4H) layer-0 gates as one (P*S, units) GEMM
+    # before the scan — is 13% SLOWER than this variant end-to-end (97.9
+    # vs 86.7 ms/step; pre-hoist baseline 91.8): the ~600 MB gate buffer's
+    # HBM write + per-step read exceeds the cost of the small in-loop
+    # (P, units) @ (units, 4H) GEMM.  Keep the prenet gates per-step.
+    w_enc, w_pre, w_pos = _split_lstm0_wx(params, cfg, enc_seg.shape[-1])
+    enc_gates = enc_seg @ w_enc + params["lstm0"]["bx"]       # (P, 4H)
+    wf_z, wf_enc = _split_feat_out(params, cfg)
+    enc_out = (enc_seg @ wf_enc) if wf_enc is not None else None
+
     def step(carry, inp):
         prenet_t, pos_t, zo_key = inp
-        parts = [enc_seg, prenet_t]
+        xproj = enc_gates + prenet_t @ w_pre
         if cfg.append_position:
-            parts.append(pos_t[:, None])
-        x_t = jnp.concatenate(parts, axis=-1)
-        new_carry = _lstm_stack_step(params, cfg, x_t, carry, zo_key, train)
-        out_t = _feat_out(params, cfg, new_carry[-2], enc_seg)
+            xproj = xproj + pos_t[:, None] * w_pos
+        new_carry = _lstm_stack_step(params, cfg, None, carry, zo_key,
+                                     train, xproj0=xproj)
+        out_t = new_carry[-2] @ wf_z
+        if enc_out is not None:
+            out_t = out_t + enc_out
         ys = (out_t, new_carry[0], new_carry[2]) if capture_kd else out_t
         return new_carry, ys
 
@@ -184,9 +235,6 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
         # and the default's optimization barriers inhibit TPU fusion
         step = jax.checkpoint(step, prevent_cse=False)
 
-    # step positions: the reference indexes the frame ramp by step index
-    # (decoder_sa.py:497-498); identical to per-frame positions at r=1
-    pos_steps = position[:, :S]
     xs = (jnp.swapaxes(prenet_all, 0, 1), pos_steps.T, zo_keys)
     _, outs = lax.scan(step, _zero_carry(P, cfg, dtype), xs)
     if capture_kd:
@@ -242,17 +290,28 @@ def decoder_inference(params, state, cfg, enc_seg, seg_dur, position,
     odim = cfg.odim
     pre_keys = random.split(rng, S)
 
+    # hoisted step-invariant GEMMs (prenet must stay in-loop — its input
+    # is the AR feedback): enc's layer-0 gate contribution and enc's
+    # feat_out half are computed ONCE instead of per step (mirror of
+    # ops/decoder_pallas.py:59-60; the reference re-multiplies both every
+    # step, decoder_sa.py:591-617)
+    w_enc, w_pre, w_pos = _split_lstm0_wx(params, cfg, enc_seg.shape[-1])
+    enc_gates = enc_seg @ w_enc + params["lstm0"]["bx"]       # (P, 4H)
+    wf_z, wf_enc = _split_feat_out(params, cfg)
+    enc_out = (enc_seg @ wf_enc) if wf_enc is not None else None
+
     def step(carry, inp):
         pos_t, k_pre = inp
         lstm_carry, prev_out = carry
         prenet_t = _prenet_or_identity(params, cfg, prev_out, k_pre)
-        parts = [enc_seg, prenet_t]
+        xproj = enc_gates + prenet_t @ w_pre
         if cfg.append_position:
-            parts.append(pos_t[:, None])
-        x_t = jnp.concatenate(parts, axis=-1)
-        new_carry = _lstm_stack_step(params, cfg, x_t, lstm_carry, None,
-                                     train=False)
-        out_t = _feat_out(params, cfg, new_carry[-2], enc_seg)
+            xproj = xproj + pos_t[:, None] * w_pos
+        new_carry = _lstm_stack_step(params, cfg, None, lstm_carry, None,
+                                     train=False, xproj0=xproj)
+        out_t = new_carry[-2] @ wf_z
+        if enc_out is not None:
+            out_t = out_t + enc_out
         # AR feedback: last sub-frame of the group (decoder_sa.py:617)
         prev = out_t if r == 1 else out_t.reshape(P, odim, r)[..., -1]
         return (new_carry, prev), out_t

@@ -48,33 +48,31 @@ def _inputs(cfg, P, seed=0):
     return enc_seg, jnp.asarray(dur), position, frame_mask
 
 
-def _time(fn, args, n):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n
-
-
 def _time_injit(fn_of_i, n, reps=3):
-    """Median per-iteration time of an IN-JIT fori_loop of ``fn_of_i``.
+    """Median per-iteration time of an IN-JIT chained loop of ``fn_of_i``.
 
-    The decoder hot loop is 2-5 ms of device work; per-call dispatch over
-    a remote-attached device adds comparable RTT jitter, so host-loop
-    timing is noise-dominated.  Looping inside one compiled program makes
-    the measurement RTT-free, and completion is forced by a REAL host
-    readback (jax.block_until_ready can return early over the relay) with
-    the readback RTT subtracted."""
-    shape = jax.eval_shape(fn_of_i, jnp.int32(0))
+    Protocol (v3):
+    - The decoder hot loop is 2-5 ms of device work; per-call dispatch
+      over a remote-attached device adds comparable RTT jitter, so
+      host-loop timing is noise-dominated.  Looping inside one compiled
+      program makes the measurement RTT-free; completion is forced by a
+      REAL host readback (jax.block_until_ready can return early over
+      the relay) with the readback RTT subtracted.
+    - ``fn_of_i(i, eps)`` must add the traced scalar ``eps`` to its DATA
+      input (not just the PRNG seed): eps is always 0.0 but data-depends
+      on iteration i-1's output, so XLA's loop-invariant code motion
+      cannot hoist input-dependent work (e.g. the decoder's hoisted
+      enc_seg projections) out of the timing loop — exactly the work
+      that re-runs per batch in real serving/training.
+    """
 
     @jax.jit
     def loop():
-        out = jax.lax.fori_loop(
-            0, n, lambda i, c: fn_of_i(i),
-            jnp.zeros(shape.shape, shape.dtype))
-        return jnp.ravel(out)[:8]  # small fetch, depends on the loop
+        def body(i, eps):
+            out = fn_of_i(i, eps)
+            # always 0.0, but XLA cannot prove it (x*0 is NaN-preserving)
+            return jnp.ravel(out)[0].astype(jnp.float32) * 0.0
+        return jax.lax.fori_loop(0, n, body, jnp.float32(0.0))
 
     out = loop()
     np.asarray(out)  # compile + warm
@@ -112,9 +110,9 @@ def bench_model(cfg, name, P, n, dropout=0.5):
         p, e, pos = cast(params, dt), enc_seg.astype(dt), \
             position.astype(dt)
         row[tag] = _time_injit(
-            lambda i, _p=p, _e=e, _pos=pos: decoder_inference(
-                _p, state, cfg, _e, dur, _pos, frame_mask,
-                jax.random.fold_in(key, i)), n) * 1e3
+            lambda i, eps, _p=p, _e=e, _pos=pos: decoder_inference(
+                _p, state, cfg, _e + eps.astype(_e.dtype), dur, _pos,
+                frame_mask, jax.random.fold_in(key, i)), n) * 1e3
 
     # --- fused Pallas kernel (only where weights fit in VMEM)
     for wdt, tag in ((jnp.float32, "fused_fp32_ms"),
@@ -124,11 +122,28 @@ def bench_model(cfg, name, P, n, dropout=0.5):
             continue
         try:
             row[tag] = _time_injit(
-                lambda i, _w=wdt: fused_ar_decode(
-                    params, enc_seg, position, i,
+                lambda i, eps, _w=wdt: fused_ar_decode(
+                    params, enc_seg + eps, position, i,
                     zoneout=cfg.zoneout_rate, dropout=dropout,
                     weights_dtype=_w), n) * 1e3
         except Exception as exc:  # record compile failures, don't die
+            row[tag] = f"FAILED: {type(exc).__name__}"
+
+    # --- HBM weight-streaming kernel (the teacher path: weights > VMEM)
+    from fcl_taco2_tpu.ops.decoder_pallas import (fused_ar_decode_hbm,
+                                                  hbm_stream_compatible)
+    for wdt, tag in ((jnp.bfloat16, "hbm_stream_bf16_ms"),
+                     (jnp.float32, "hbm_stream_fp32_ms")):
+        if not hbm_stream_compatible(cfg):
+            row[tag] = None
+            continue
+        try:
+            row[tag] = _time_injit(
+                lambda i, eps, _w=wdt: fused_ar_decode_hbm(
+                    params, enc_seg + eps, position, i,
+                    zoneout=cfg.zoneout_rate, dropout=dropout,
+                    weights_dtype=_w), n) * 1e3
+        except Exception as exc:
             row[tag] = f"FAILED: {type(exc).__name__}"
 
     best_scan = min(row["scan_fp32_ms"], row["scan_bf16_ms"])
@@ -136,6 +151,11 @@ def bench_model(cfg, name, P, n, dropout=0.5):
              if isinstance(v, float)]
     row["best_fused_speedup_vs_best_scan"] = \
         round(best_scan / min(fused), 2) if fused else None
+    hbm = [v for v in (row.get("hbm_stream_bf16_ms"),
+                       row.get("hbm_stream_fp32_ms"))
+           if isinstance(v, float)]
+    row["best_hbm_stream_speedup_vs_best_scan"] = \
+        round(best_scan / min(hbm), 2) if hbm else None
     print(json.dumps(row))
     return row
 
@@ -167,20 +187,29 @@ def bench_train_path(cfg, name, B, n):
         lambda k: decoder_init(k, cfg))(jax.random.PRNGKey(0))
     key = jax.random.PRNGKey(1)
 
-    def fwd(params):
+    position = jnp.asarray(plan.position)
+    frame_mask = jnp.asarray(plan.frame_mask)
+    utt_gather = jnp.asarray(plan.utt_gather)
+    utt_mask = jnp.asarray(plan.utt_mask)
+
+    def fwd(params, enc, i):
         after, before, _, _ = decoder_teacher_forced(
-            params, state, cfg, enc_seg, seg_targets,
-            jnp.asarray(plan.position), jnp.asarray(plan.frame_mask),
-            jnp.asarray(plan.utt_gather), jnp.asarray(plan.utt_mask),
-            key, train=True)
+            params, state, cfg, enc, seg_targets, position, frame_mask,
+            utt_gather, utt_mask, jax.random.fold_in(key, i), train=True)
         return jnp.mean(jnp.abs(after)) + jnp.mean(jnp.abs(before))
 
-    f_fwd = jax.jit(fwd)
-    f_grad = jax.jit(jax.grad(fwd))
+    def full_grad(i, eps):
+        # consume EVERY param grad: returning one leaf lets XLA dead-code
+        # -eliminate the rest of the backward (measured: "fwd+bwd" ==
+        # fwd + 1 ms), which is not what a train step pays
+        grads = jax.grad(fwd)(params, enc_seg + eps, i)
+        return jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(g), grads, jnp.float32(0.0))
+
     row = {"model": name, "B": B, "P": P, "D": D,
-           "tf_scan_fwd_ms": _time(f_fwd, (params,), n) * 1e3,
-           "tf_scan_fwd_bwd_ms": _time(lambda p: f_grad(p)["feat_out"]["w"],
-                                       (params,), n) * 1e3}
+           "tf_scan_fwd_ms": _time_injit(
+               lambda i, eps: fwd(params, enc_seg + eps, i), n) * 1e3,
+           "tf_scan_fwd_bwd_ms": _time_injit(full_grad, n) * 1e3}
     print(json.dumps(row))
     return row
 
@@ -210,8 +239,12 @@ def main(argv=None):
             "what": "AR decoder loop only (decoder_inference vs "
                     f"fused_ar_decode), D=max_dur steps; {args.reps} "
                     "iterations INSIDE one jitted fori_loop (RTT-free), "
-                    "median of 3 loop calls — host-loop timing of 2-5 ms "
-                    "kernels over the device relay is noise-dominated",
+                    "median of 3 loop calls, iterations CHAINED through a "
+                    "zero-valued data dependency so loop-invariant code "
+                    "motion cannot hoist per-batch work out of the loop "
+                    "— host-loop timing of 2-5 ms kernels over the device "
+                    "relay is noise-dominated (v2 train rows used host "
+                    "loops; not comparable)",
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },
