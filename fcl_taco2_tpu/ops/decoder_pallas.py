@@ -120,6 +120,210 @@ def fits_vmem(cfg, D=None, budget=13 * 1024 * 1024,
     return vmem_bytes_estimate(cfg, D, weights_dtype) <= budget
 
 
+def _kernel_hbm(seed_ref, enc_gates_ref, enc_out_ref, pos_ref, pre_w1_ref,
+                pre_b1_ref, pre_w2_ref, pre_b2_ref, wx0_pre_ref, wx0_pos_ref,
+                bh0_ref, bx1_ref, bh1_ref, wf_z_ref, wbig_ref, out_ref,
+                wchunk, dma_sem, *, D, odim, dunits, CH, zoneout, dropout):
+    """Teacher-size AR decoder loop: big recurrent matrices streamed from
+    HBM (see fused_ar_decode_hbm)."""
+    H = dunits
+    n_per = H // CH
+    n_chunks = 3 * n_per  # wh0, wx1, wh1 stacked row-wise in wbig
+    wdt = wf_z_ref.dtype
+
+    def mm(a, w):
+        return jnp.dot(a.astype(wdt), w, preferred_element_type=jnp.float32)
+
+    if dropout > 0.0:
+        pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
+
+    def dma(c, slot):
+        return pltpu.make_async_copy(
+            wbig_ref.at[pl.ds(c * CH, CH), :], wchunk.at[slot],
+            dma_sem.at[slot])
+
+    keep = 1.0 - zoneout
+
+    def lstm_half(gates, h, c):
+        i, f, g, o = jnp.split(gates, 4, axis=-1)
+        c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
+        h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
+        return zoneout * h + keep * h_new, zoneout * c + keep * c_new
+
+    def step(t, carry):
+        prev, h0, c0, h1, c1 = carry
+        # prenet (always-on dropout, decoder_sa.py:109-112)
+        p = jnp.maximum(mm(prev, pre_w1_ref[:]) + pre_b1_ref[:], 0.0)
+        if dropout > 0.0:
+            p = p * _dropout_bits(p.shape, dropout)
+        p = jnp.maximum(mm(p, pre_w2_ref[:]) + pre_b2_ref[:], 0.0)
+        if dropout > 0.0:
+            p = p * _dropout_bits(p.shape, dropout)
+
+        pos_t = pos_ref[t, :][:, None]
+        gates0 = (enc_gates_ref[...]
+                  + mm(p, wx0_pre_ref[:])
+                  + pos_t * wx0_pos_ref[:].astype(jnp.float32)
+                  + bh0_ref[:])
+        # h0 @ wh0, contraction chunked over streamed rows; the chunk walk
+        # is UNROLLED (static slices — Mosaic cannot dynamically slice the
+        # lane dim) and 2-slot double-buffered per the standard pattern:
+        # chunk c+1's DMA is in flight while chunk c's GEMM runs
+        for c in range(n_per):
+            if c + 1 < n_chunks:
+                dma(c + 1, (c + 1) % 2).start()
+            dma(c, c % 2).wait()
+            gates0 = gates0 + mm(h0[:, c * CH:(c + 1) * CH],
+                                 wchunk[c % 2])
+        h0n, c0n = lstm_half(gates0, h0, c0)
+
+        gates1 = bx1_ref[:] + bh1_ref[:]
+        for k in range(n_per):  # h0n @ wx1
+            c = n_per + k
+            if c + 1 < n_chunks:
+                dma(c + 1, (c + 1) % 2).start()
+            dma(c, c % 2).wait()
+            gates1 = gates1 + mm(h0n[:, k * CH:(k + 1) * CH],
+                                 wchunk[c % 2])
+        for k in range(n_per):  # h1 @ wh1
+            c = 2 * n_per + k
+            if c + 1 < n_chunks:
+                dma(c + 1, (c + 1) % 2).start()
+            dma(c, c % 2).wait()
+            gates1 = gates1 + mm(h1[:, k * CH:(k + 1) * CH],
+                                 wchunk[c % 2])
+            if c + 1 == n_chunks:
+                # prefetch the NEXT step's chunk 0 into slot 0 only after
+                # the final chunk is consumed: slot 0's occupant is already
+                # read regardless of n_chunks parity (starting it in the
+                # pre-wait position would overwrite an unconsumed chunk
+                # when n_chunks is odd)
+                dma(0, 0).start()
+        h1n, c1n = lstm_half(gates1, h1, c1)
+
+        out = mm(h1n, wf_z_ref[:]) + enc_out_ref[...]
+        out_ref[:, t, :] = out
+        return (out, h0n, c0n, h1n, c1n)
+
+    dma(0, 0).start()  # warm-up: chunk 0 of step 0
+    zeros = jnp.zeros((TILE, dunits), jnp.float32)
+    prev0 = jnp.zeros((TILE, odim), jnp.float32)
+    jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
+    dma(0, 0).wait()  # drain the final prefetch before kernel exit
+
+
+def hbm_stream_compatible(cfg):
+    """Config gate for fused_ar_decode_hbm: reference topology + chunkable
+    recurrent width."""
+    return (cfg.prenet_layers == 2 and cfg.append_position
+            and cfg.use_concate and cfg.dlayers == 2
+            and cfg.reduction_factor == 1 and cfg.dunits % 256 == 0)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("zoneout", "dropout", "weights_dtype",
+                                    "chunk_rows"))
+def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
+                        dropout=0.5, weights_dtype=jnp.bfloat16,
+                        chunk_rows=256):
+    """AR decoder loop for models whose weights do NOT fit VMEM (the
+    teacher: ~31 MB bf16 vs ~16 MB VMEM): the three big recurrent
+    matrices (wh0, wx1, wh1 — (H, 4H) each) stay in HBM and are streamed
+    through a 2-slot VMEM chunk buffer with async DMA overlapped against
+    the step's GEMMs; everything else (prenet, wx0 blocks, feat_out,
+    biases, per-tile activations) is VMEM-resident.  The step-invariant
+    enc projections (enc @ wx0_enc + bx0, enc @ wf_enc) are hoisted
+    OUTSIDE the kernel as two plain XLA GEMMs.
+
+    Roofline: per step the kernel must move 3*H*4H weight bytes; at H=1024
+    bf16 that is ~25 MB/step -> ~31 us/step at v5e HBM bandwidth, vs the
+    XLA scan's ~73 us/step (results/PALLAS_decoder.json teacher P=128) —
+    the compute (~16 us/step at P=128) hides under the DMA.  Weights
+    default to bf16 (fp32 doubles the DMA bound and loses the advantage).
+
+    Only worthwhile while P is a single tile (each grid tile re-streams
+    the weights; the XLA scan reads them once per step for ALL P) — the
+    caller gates on P (see Tacotron2SA.synthesize auto policy).
+
+    Replaces the flagship batch-1 teacher decode hot loop,
+    /root/reference/nets/modules/decoder_sa.py:591-617.
+    """
+    P, idim = enc_seg.shape
+    D = position.shape[1]
+    if P % TILE:
+        pad = TILE - P % TILE
+        enc_seg = jnp.pad(enc_seg, ((0, pad), (0, 0)))
+        position = jnp.pad(position, ((0, pad), (0, 0)))
+    Pp = enc_seg.shape[0]
+
+    pre = dec_params["prenet"]["layers"]
+    units = pre[0]["w"].shape[1]
+    odim = pre[0]["w"].shape[0]
+    wx0 = dec_params["lstm0"]["wx"]
+    H = dec_params["lstm0"]["wh"].shape[0]
+    CH = min(chunk_rows, H)
+    assert H % CH == 0, (H, CH)
+    wx0_enc = wx0[:idim]
+    wx0_pre = wx0[idim:idim + units]
+    wx0_pos = wx0[idim + units:idim + units + 1]
+    wf = dec_params["feat_out"]["w"]
+    wf_z, wf_enc = wf[:H], wf[H:]
+
+    f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
+    wdt = lambda x: x.astype(weights_dtype)  # noqa: E731
+
+    # hoisted step-invariant GEMMs (plain XLA, once per call)
+    enc_gates = f32(enc_seg) @ f32(wx0_enc) \
+        + f32(dec_params["lstm0"]["bx"])              # (Pp, 4H)
+    enc_out = f32(enc_seg) @ f32(wf_enc)              # (Pp, odim)
+
+    wbig = jnp.concatenate([wdt(dec_params["lstm0"]["wh"]),
+                            wdt(dec_params["lstm1"]["wx"]),
+                            wdt(dec_params["lstm1"]["wh"])], axis=0)
+
+    args = [
+        enc_gates, enc_out, f32(position).T,
+        wdt(pre[0]["w"]), f32(pre[0]["b"])[None, :],
+        wdt(pre[1]["w"]), f32(pre[1]["b"])[None, :],
+        wdt(wx0_pre), wdt(wx0_pos),
+        f32(dec_params["lstm0"]["bh"])[None, :],
+        f32(dec_params["lstm1"]["bx"])[None, :],
+        f32(dec_params["lstm1"]["bh"])[None, :],
+        wdt(wf_z),
+    ]
+
+    grid = (Pp // TILE,)
+    tile_specs = [
+        pl.BlockSpec((TILE, 4 * H), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((TILE, odim), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((D, TILE), lambda i: (0, i),
+                     memory_space=pltpu.VMEM),
+    ]
+    weight_specs = [
+        pl.BlockSpec(a.shape, lambda i, _n=a.ndim: (0,) * _n,
+                     memory_space=pltpu.VMEM)
+        for a in args[3:]
+    ]
+    out = pl.pallas_call(
+        functools.partial(_kernel_hbm, D=D, odim=odim, dunits=H, CH=CH,
+                          zoneout=float(zoneout), dropout=float(dropout)),
+        grid=grid,
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tile_specs
+        + weight_specs
+        + [pl.BlockSpec(memory_space=pltpu.ANY)],  # wbig stays in HBM
+        out_specs=pl.BlockSpec((TILE, D, odim), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Pp, D, odim), jnp.float32),
+        scratch_shapes=[
+            pltpu.VMEM((2, CH, 4 * H), weights_dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )(jnp.asarray(seed, jnp.int32).reshape(1), *args, wbig)
+    return out[:P]
+
+
 @functools.partial(jax.jit,
                    static_argnames=("zoneout", "dropout", "weights_dtype"))
 def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,

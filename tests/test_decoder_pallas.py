@@ -73,3 +73,47 @@ def test_fused_dropout_is_stochastic_but_bounded(monkeypatch):
     b = dp.fused_ar_decode(params, enc_seg, position, 1, dropout=0.5)
     assert np.isfinite(np.asarray(a)).all()
     assert not np.allclose(np.asarray(a), np.asarray(b))  # different seeds
+
+
+def test_hbm_stream_kernel_matches_scan(monkeypatch):
+    """Weight-streaming teacher kernel (fused_ar_decode_hbm, interpret
+    mode): exact vs the lax.scan path with fp32 weights; the DMA chunk
+    walk must reproduce h @ wh0 / h0n @ wx1 / h1 @ wh1 bit-for-tolerance."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dropout_rate=0.0, max_dur=7)
+    params, state = decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    P, D = 5, cfg.max_dur
+    enc_seg = jnp.asarray(rng.normal(size=(P, cfg.eunits)).astype(
+        np.float32))
+    dur = np.array([3, 7, 1, 5, 2], np.int32)
+    frame_mask = jnp.asarray(np.arange(D)[None, :] < dur[:, None])
+    position = jnp.asarray(np.where(
+        np.asarray(frame_mask),
+        np.arange(D)[None, :] / np.maximum(dur[:, None], 1), 0.0
+    ).astype(np.float32))
+
+    want = decoder_inference(params, state, cfg, enc_seg,
+                             jnp.asarray(dur), position, frame_mask,
+                             jax.random.PRNGKey(1))
+    # chunk_rows > dunits exercises CH=H (single chunk per matrix);
+    # chunk_rows = dunits//2 exercises the multi-chunk double-buffer walk
+    for chunk_rows in (cfg.dunits, cfg.dunits // 2):
+        got = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
+                                     zoneout=cfg.zoneout_rate, dropout=0.0,
+                                     weights_dtype=jnp.float32,
+                                     chunk_rows=chunk_rows)
+        got = got * np.asarray(frame_mask)[..., None]
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5,
+                                   err_msg=f"chunk_rows={chunk_rows}")
