@@ -33,12 +33,13 @@ Grid = (B, n_tiles); Pallas TPU runs grid steps sequentially (last dim
 fastest), so VMEM scratch legally carries stream state across tiles; state
 resets when a new batch row starts (program_id(1) == 0).
 
-Exactness: outputs match vocoder/pwg.py:pwg_generate bit-for-bit in
-spirit (fp reassociation only) for all samples except the LAST ``DELAY``
-(~139 ms): there the original zero-pads every layer's input on the right,
-while the stream keeps computing from (zero noise, zero aux) — a
-different, arguably more natural tail convention.  Pad the mel with
-~DELAY//hop trailing silence frames if exact-tail parity matters.
+Exactness: outputs match vocoder/pwg.py:pwg_generate over the WHOLE
+utterance (fp reassociation only): each layer's stream is masked to zero
+outside its valid original-time window [0, W) on both edges, reproducing
+the 'same'-conv zero padding the full graph applies per layer (left edge:
+t < 0 would otherwise be bias-driven garbage; right edge: t >= W would
+otherwise be zero-noise/zero-aux continuations).  Tested to 1e-5 over
+full length in tests/test_vocoder.py.
 """
 
 import functools
@@ -88,7 +89,7 @@ def _kernel(noise_ref, aux_ref, conv_w_ref, gate_b_ref, aux_w_ref,
             skip_w_ref, skip_b_ref, out_w_ref, out_b_ref, first_w_ref,
             first_b_ref, last1_w_ref, last1_b_ref, last2_w_ref,
             last2_b_ref, out_ref, aux_hist, acc, *bufs, cfg: PWGConfig,
-            T: int, delay: int):
+            T: int, delay: int, W: int):
     half = cfg.gate_channels // 2
     dils = cfg.dilations
 
@@ -105,18 +106,24 @@ def _kernel(noise_ref, aux_ref, conv_w_ref, gate_b_ref, aux_w_ref,
     aux_ext = jnp.concatenate([aux_hist[...], aux_ref[0]], axis=0)
     aux_hist[...] = aux_ext[T:]
 
-    # first 1x1 conv: noise (T, 1) -> x (T, C)
-    x = noise_ref[0] * first_w_ref[0] + first_b_ref[...]
-
     # global stream position of each row in this tile: layer i's output
-    # stream is only VALID from position D_{i+1} on (earlier positions are
-    # original-time t < 0, which the reference zero-pads; the causal
-    # recomputation would fill them with bias-driven garbage instead) —
-    # mask x to keep every layer's left padding exactly zero.  Masked skip
-    # rows land at accumulator positions < DELAY of the first tile, which
-    # the caller trims, so only x needs the mask.
+    # stream is only VALID on original-time t = pos - D_{i+1} in [0, W)
+    # (outside, the reference's 'same' convs see zero padding; the causal
+    # recomputation would fill t < 0 with bias-driven garbage and t >= W
+    # with zero-noise/zero-aux continuations instead) — mask x on BOTH
+    # edges so every layer's padding is exactly zero and the emitted
+    # stream is bit-exact with the full graph over the whole utterance.
+    # Out-of-range skip rows land at accumulator positions the caller
+    # trims (< DELAY of the first tile; >= DELAY + W at the end), so only
+    # x needs the mask.
     pos = (pl.program_id(1) * T
            + jax.lax.broadcasted_iota(jnp.int32, (T, 1), 0))
+
+    # first 1x1 conv: noise (T, 1) -> x (T, C); zero past the true sample
+    # count W (the right-edge mirror of the per-layer masks: padded noise
+    # rows would otherwise emit first_b instead of the graph's zero pad)
+    x = noise_ref[0] * first_w_ref[0] + first_b_ref[...]
+    x = jnp.where(pos < W, x, 0.0)
 
     cum = 0
     for i, d in enumerate(dils):
@@ -136,7 +143,7 @@ def _kernel(noise_ref, aux_ref, conv_w_ref, gate_b_ref, aux_w_ref,
             + mm(g, skip_w_ref[i]) + skip_b_ref[i][None, :]
         x = (mm(g, out_w_ref[i]) + out_b_ref[i][None, :]
              + inp[base + d:base + d + T]) * math.sqrt(0.5)
-        x = jnp.where(pos >= cum, x, 0.0)
+        x = jnp.where((pos >= cum) & (pos < W + cum), x, 0.0)
 
     z = acc[0:T] * math.sqrt(1.0 / cfg.layers)
     # shift the skip accumulator left by one tile
@@ -154,8 +161,8 @@ def pwg_generate_streaming(params, cfg: PWGConfig, mel, noise,
                            tile: int = 1024, interpret: bool = False):
     """mel (B, Tm, aux), noise (B, Tm*hop) -> wav (B, Tm*hop).
 
-    Fused streaming Pallas path; see module docstring for the tail
-    convention (last ``total_delay(cfg)`` samples).
+    Fused streaming Pallas path; exact (fp reassociation only) vs
+    ``pwg_generate`` over the full length, tail included.
     """
     B, Tm, _ = mel.shape
     W = Tm * cfg.hop
@@ -207,7 +214,7 @@ def pwg_generate_streaming(params, cfg: PWGConfig, mel, noise,
                 for d in cfg.dilations]
 
     out = pl.pallas_call(
-        functools.partial(_kernel, cfg=cfg, T=T, delay=delay),
+        functools.partial(_kernel, cfg=cfg, T=T, delay=delay, W=W),
         grid=grid,
         in_specs=[tile_spec(), aux_spec] + [full(w) for w in weights],
         out_specs=tile_spec(),

@@ -100,17 +100,16 @@ def test_vocode_cli(tmp_path):
         assert f.getnframes() == 7 * 256
 
 
-def test_streaming_kernel_matches_full_interior():
+def test_streaming_kernel_matches_full():
     """Fused streaming Pallas vocoder (interpret mode): exact match with
-    the full conv graph on all samples except the trailing delay window
-    (different tail-padding convention, pwg_pallas.py docstring)."""
+    the full conv graph over the WHOLE utterance, tail included (each
+    layer's stream is masked to the graph's zero padding on both edges,
+    pwg_pallas.py docstring)."""
     import jax
     import jax.numpy as jnp
 
     from fcl_taco2_tpu.vocoder.pwg import PWGConfig, pwg_generate, pwg_init
-    from fcl_taco2_tpu.vocoder.pwg_pallas import (_round8,
-                                                  pwg_generate_streaming,
-                                                  total_delay)
+    from fcl_taco2_tpu.vocoder.pwg_pallas import pwg_generate_streaming
 
     cfg = PWGConfig(layers=6, stacks=2, residual_channels=8,
                     gate_channels=16, skip_channels=8, aux_channels=5,
@@ -125,10 +124,7 @@ def test_streaming_kernel_matches_full_interior():
     got = np.asarray(pwg_generate_streaming(params, cfg, mel, noise,
                                             tile=16, interpret=True))
     assert got.shape == want.shape
-    inner = Tm * cfg.hop - _round8(total_delay(cfg))
-    np.testing.assert_allclose(got[:, :inner], want[:, :inner], atol=1e-5)
-    # the tail is a convention difference, not garbage
-    assert np.abs(got[:, inner:]).max() < 10 * np.abs(want).max() + 1.0
+    np.testing.assert_allclose(got, want, atol=1e-5)
 
 
 def test_vocode_dispatch_cpu_uses_exact_chunked():
