@@ -165,10 +165,16 @@ class Trainer:
         bs = self.tcfg.batch_size
         batches = [self.val_utts[i:i + bs]
                    for i in range(0, len(self.val_utts), bs)]
-        for batch in self._loader(batches):
+        # weight each batch's masked means by its REAL utterance count:
+        # the trailing partial batch is padded to the static batch size
+        # with empty utterances, and an equal-weight mean would count its
+        # utterances bs/len(chunk) times in validation/main/loss — the
+        # early-stop/best-model signal
+        for chunk, batch in zip(batches, self._loader(batches)):
             rng, sub = jax.random.split(rng)
             report = jax.device_get(self._run_eval_step(ts, batch, sub))
-            self.reporter.report(report, prefix="validation/main")
+            self.reporter.report(report, prefix="validation/main",
+                                 weight=len(chunk))
         return rng
 
     def run(self, rng=None):

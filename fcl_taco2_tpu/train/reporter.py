@@ -17,29 +17,36 @@ class Reporter:
         os.makedirs(exp_dir, exist_ok=True)
         self.log_path = os.path.join(exp_dir, log_name)
         self._sums = defaultdict(float)
-        self._counts = defaultdict(int)
+        self._counts = defaultdict(float)
         self.history = []
         self._t0 = time.time()
 
-    def report(self, scalars: dict, prefix="main"):
+    def report(self, scalars: dict, prefix="main", weight=1.0):
+        """Accumulate scalars; the epoch summary is the WEIGHTED mean.
+
+        ``weight``: contribution of this observation (validation passes the
+        batch's valid-utterance count so the trailing partial batch does
+        not over-count — the reference averages same-size batches,
+        tts.py:71-108, so its skew is bounded; padded static batches need
+        the explicit weight)."""
         for k, v in scalars.items():
             key = f"{prefix}/{k}"
-            self._sums[key] += float(v)
-            self._counts[key] += 1
+            self._sums[key] += float(v) * weight
+            self._counts[key] += weight
 
     def peek(self, keys=None):
         """Running means of the CURRENT epoch so far (for in-epoch progress
         lines, reference PrintReport/ProgressBar every 100 iterations,
         tts.py:584-587)."""
         keys = keys or sorted(self._sums)
-        return {k: self._sums[k] / max(self._counts[k], 1)
+        return {k: self._sums[k] / (self._counts[k] or 1.0)
                 for k in keys if k in self._sums}
 
     def summarize(self, epoch, step, extra=None):
         entry = {"epoch": epoch, "step": step,
                  "elapsed_sec": round(time.time() - self._t0, 2)}
         for k in sorted(self._sums):
-            entry[k] = self._sums[k] / max(self._counts[k], 1)
+            entry[k] = self._sums[k] / (self._counts[k] or 1.0)
         if extra:
             entry.update(extra)
         self._sums.clear()
