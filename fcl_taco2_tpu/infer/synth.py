@@ -173,17 +173,33 @@ class Synthesizer:
         olens = np.asarray(out["olens"])
         wall = time.perf_counter() - t0
 
+        # never return truncated mels (the reference can never truncate —
+        # exact per-utterance shapes, tts.py:655-674): when predicted
+        # durations exceed the heuristic frame budget, the EXACT need is
+        # now known from d_outs, so transparently re-dispatch once at the
+        # exact bucket.  At most one extra pass: d_outs don't depend on
+        # the budget.
+        redispatched = 0
+        while durations is None and int((olens[:n] >= budget).sum()):
+            need = int(np.asarray(out["d_outs"])[:n].sum(axis=1).max())
+            new_budget = _round_up(need, self.frame_bucket)
+            if new_budget <= budget:
+                break  # budget boundary hit exactly; nothing was dropped
+            budget = new_budget
+            redispatched += 1
+            fn = self._fn(B, Tmax, budget, warm_args=dev_args)
+            t0 = time.perf_counter()
+            out = fn(*dev_args)
+            mel = np.asarray(out["mel"])
+            olens = np.asarray(out["olens"])
+            wall = time.perf_counter() - t0
+
         mels = [mel[i, :olens[i]] for i in range(n)]
-        truncated = int((olens[:n] >= budget).sum())
-        if truncated and durations is None:
-            print(f"WARNING: {truncated} utterance(s) hit the frame budget "
-                  f"({budget}); raise frame_per_token (currently "
-                  f"{self.frame_per_token}) to avoid truncation")
         total_frames = int(olens[:n].sum())
         fps = total_frames / wall if wall > 0 else float("inf")
         return mels, {"frames_per_sec": fps, "wall_sec": wall,
                       "total_frames": total_frames,
-                      "truncated": truncated}
+                      "truncated": 0, "redispatched": redispatched}
 
     def synth_manifest(self, utts: List[Utterance], out_dir,
                        write_ark=True, rng=None, label="decode",
@@ -203,6 +219,7 @@ class Synthesizer:
                               os.path.join(out_dir, "feats.scp")) \
             if write_ark else None
         speeds = []
+        utt_lines = []
         try:
             for i in range(0, len(utts), self.batch_size):
                 chunk = utts[i:i + self.batch_size]
@@ -214,6 +231,17 @@ class Synthesizer:
                     [u.tokenids for u in chunk], sub, durations=durs,
                     d_factor=d_factor)
                 speeds.append(stats["frames_per_sec"])
+                # per-utterance speed lines (reference logs one per utt,
+                # tts.py:665-674); decode here is batched so each line
+                # carries the utterance's frames over its batch's wall —
+                # the distribution exposes straggler buckets
+                for u, m in zip(chunk, mels):
+                    fps_u = (m.shape[0] / stats["wall_sec"]
+                             if stats["wall_sec"] > 0 else float("inf"))
+                    utt_lines.append(
+                        f"{u.uttid} frames {m.shape[0]} "
+                        f"batch_wall_sec {stats['wall_sec']:.4f} "
+                        f"frames_per_sec {fps_u:.1f}\n")
                 if writer:
                     for u, m in zip(chunk, mels):
                         writer.write(u.uttid, m)
@@ -222,5 +250,11 @@ class Synthesizer:
                 writer.close()
         mean_fps = float(np.mean(speeds)) if speeds else 0.0
         with open(os.path.join(out_dir, f"{label}.txt"), "w") as f:
+            f.writelines(utt_lines)
             f.write(f"mean_frames_per_sec {mean_fps:.1f}\n")
+            if speeds:  # batch-throughput distribution (p50/p95)
+                f.write("p50_frames_per_sec "
+                        f"{float(np.percentile(speeds, 50)):.1f}\n")
+                f.write("p95_frames_per_sec "
+                        f"{float(np.percentile(speeds, 95)):.1f}\n")
         return mean_fps

@@ -63,7 +63,8 @@ def main(argv=None):
                         "--out", out_dir, "--batch-size", "8",
                         *extra_synth])
         with open(os.path.join(out_dir, "decode.txt")) as f:
-            fps = float(f.read().split()[-1])
+            fps = next(float(ln.split()[1]) for ln in f
+                       if ln.startswith("mean_frames_per_sec"))
         print(f"[eval] {tag} ...", flush=True)
         report_path = os.path.join(out_dir, "eval.json")
         fcl_eval.main(["--feats-scp", os.path.join(out_dir, "feats.scp"),

@@ -86,6 +86,12 @@ def test_cli_full_workflow(tmp_path):
                     "--batch-size", "2"])
     assert os.path.exists(os.path.join(out, "feats.scp"))
     assert os.path.exists(os.path.join(out, "decode.txt"))
+    with open(os.path.join(out, "decode.txt")) as f:
+        txt = f.read()
+    # one per-utterance speed line (tts.py:665-674 parity) + summary stats
+    assert txt.count("frames_per_sec") >= 1 + 3, txt
+    assert "mean_frames_per_sec" in txt
+    assert "p50_frames_per_sec" in txt and "p95_frames_per_sec" in txt
 
     # 5. ark file is readable and matches the scp index
     from fcl_taco2_tpu.infer.ark import read_ark_matrix

@@ -53,3 +53,28 @@ def test_d_factor_identity_at_one():
     mels, _ = synth.synth_batch(toks, jax.random.PRNGKey(0),
                                 durations=durs, d_factor=1.0)
     assert mels[0].shape[0] == 15
+
+
+def test_redispatch_instead_of_truncation():
+    """Pathological duration prediction (VERDICT r2 weak #4): when predicted
+    durations exceed the heuristic frame budget, synth_batch must re-run at
+    the exact bucket and return FULL mels, never truncated ones."""
+    cfg = tiny_config()
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    # bias the duration predictor's output linear so every token predicts
+    # ~round(exp(3)-1)=19 -> clipped to max_dur=6 frames: 8 tokens * 6 =
+    # 48 frames >> the frame_per_token=1 budget of 8
+    params["duration_predictor"]["linear"]["b"] = \
+        params["duration_predictor"]["linear"]["b"] + 3.0
+    synth = Synthesizer(model, params, state, batch_size=2, tok_bucket=8,
+                        frame_per_token=1, frame_bucket=8)
+    toks = [np.arange(1, 9, dtype=np.int32), np.arange(1, 5, dtype=np.int32)]
+    mels, stats = synth.synth_batch(toks, jax.random.PRNGKey(0))
+    assert stats["redispatched"] == 1, stats
+    assert stats["truncated"] == 0
+    # full predicted length came back: durations clip to max_dur per token
+    assert mels[0].shape[0] == 8 * cfg.max_dur, mels[0].shape
+    assert mels[1].shape[0] == 4 * cfg.max_dur, mels[1].shape
+    # and re-dispatch happened at the exact bucket
+    assert max(k[2] for k in synth._jitted) == 48
