@@ -75,6 +75,56 @@ def test_hybrid_2x4_matches_single_device():
                                    atol=1e-5)
 
 
+def test_two_process_training_matches_single_process():
+    """Execute the REAL multi-process branch: 2 subprocesses x 4 virtual
+    CPU devices each, wired by jax.distributed, feeding per-process shards
+    through make_global_batch's jax.make_array_from_callback path
+    (distributed.py).  Training losses and final-params checksum must
+    match the same workload run single-process over 8 devices (where
+    make_global_batch short-circuits to shard_batch)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    from fcl_taco2_tpu.parallel import _mp_worker
+
+    # single-process reference: same workload, same 8 global devices
+    ref_losses, ref_checksum = _mp_worker.run_training_steps(3)
+
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = os.path.join(tempfile.mkdtemp(), "mp0.json")
+    procs = [subprocess.Popen(
+        [sys.executable, "-m", "fcl_taco2_tpu.parallel._mp_worker",
+         "--process-id", str(i), "--num-processes", "2",
+         "--port", str(port), "--local-devices", "4", "--steps", "3",
+         "--out", out],
+        cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    logs = []
+    try:
+        for p in procs:
+            stdout, _ = p.communicate(timeout=600)
+            logs.append(stdout)
+        assert all(p.returncode == 0 for p in procs), \
+            "worker failed:\n" + "\n====\n".join(logs)
+        with open(out) as f:
+            got = json.load(f)
+    finally:
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+    assert got["num_processes"] == 2 and got["global_devices"] == 8
+    np.testing.assert_allclose(got["losses"], ref_losses, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(got["checksum"], ref_checksum, rtol=2e-4)
+
+
 def test_make_global_batch_single_process_equals_shard_batch():
     cfg = tiny_config()
     batch = synthetic_batch(cfg, B=8, Tmax=5, n_seg=32)
