@@ -1,0 +1,167 @@
+#!/usr/bin/env python3
+"""KD train-step cost envelope on the real TPU (VERDICT r2 next #5,
+SURVEY hard part #6: the teacher knowledge is ~18 tensors at bucketed
+shapes, /root/reference/nets/modules/decoder_sa_kd.py:702 — what does
+carrying it cost?).
+
+Measures the one-jit KD step (teacher fwd + student fwd/bwd/update,
+train/step.make_kd_train_step) at reference shapes (96 phonemes/utt,
+mean dur 8): step ms (chained fori_loop protocol, readback-forced) and
+peak HBM, for B in {16, 32, 64, ...} with and without remat_decoder.
+Each (B, remat) config runs in its OWN subprocess so peak_bytes_in_use
+is per-config, not cumulative.  Records results/KD_envelope.json; the
+CLI batch-size guidance cites it.
+
+Usage: python scripts/bench_kd.py [--reps 10] [--out results/...]
+       (internal: --one B REMAT prints a single JSON row)
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+N_PHONES = 96
+MEAN_DUR = 8
+
+
+def run_one(B, remat, reps):
+    import jax
+    import jax.numpy as jnp
+
+    from fcl_taco2_tpu.models.config import student_config, teacher_config
+    from fcl_taco2_tpu.models.kd import KDStudent
+    from fcl_taco2_tpu.models.taco2_sa import Batch
+    from fcl_taco2_tpu.ops.regroup import build_plan
+    from fcl_taco2_tpu.train.optim import build_optimizer
+    from fcl_taco2_tpu.train.state import TrainState
+    from fcl_taco2_tpu.train.step import make_kd_train_step
+    from fcl_taco2_tpu.utils.device import warmup_transfers
+
+    warmup_transfers()
+    scfg = student_config(idim=70, remat_decoder=remat)
+    tcfg = teacher_config(idim=70, remat_decoder=remat)
+    kd = KDStudent(scfg, tcfg)
+
+    rng = np.random.default_rng(0)
+    Tmax = N_PHONES
+    durations = np.clip(rng.poisson(MEAN_DUR, (B, Tmax)), 1,
+                        scfg.max_dur).astype(np.int32)
+    olens = durations.sum(1).astype(np.int32)
+    Lmax = int(np.ceil(olens.max() / 64) * 64)
+    plan = build_plan(durations, olens, scfg.max_dur, B * Tmax, Lmax)
+    batch = Batch(
+        tokens=rng.integers(1, 70, (B, Tmax)).astype(np.int32),
+        ilens=np.full(B, Tmax, np.int32),
+        mel=rng.normal(size=(B, Lmax, scfg.odim)).astype(np.float32),
+        olens=olens, durations=durations,
+        f0=rng.normal(size=(B, Tmax, 1)).astype(np.float32),
+        energy=rng.normal(size=(B, Tmax, 1)).astype(np.float32),
+        seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
+        seg_start=plan.seg_start, frame_mask=plan.frame_mask,
+        position=plan.position, utt_gather=plan.utt_gather,
+        utt_mask=plan.utt_mask)
+    batch = jax.tree_util.tree_map(jnp.asarray, batch)
+
+    params, mstate = jax.jit(kd.init)(jax.random.PRNGKey(0))
+    t_params, t_state = jax.jit(kd.teacher.init)(jax.random.PRNGKey(1))
+    tx = build_optimizer()
+    ts = TrainState(params, mstate, tx.init(params), np.int32(0))
+    step_raw = make_kd_train_step(kd, tx, mesh=None, donate=False)
+
+    n = reps
+    key = jax.random.PRNGKey(2)
+
+    @jax.jit
+    def steps_loop(ts, key):
+        def body(i, carry):
+            ts, _ = carry
+            ts2, report = step_raw(ts, t_params, t_state, batch,
+                                   jax.random.fold_in(key, i))
+            return (ts2, report["loss"])
+        return jax.lax.fori_loop(0, n, body, (ts, jnp.float32(0.0)))
+
+    out = steps_loop(ts, key)
+    loss0 = float(np.asarray(out[1]))  # compile + warm + force
+    t0 = time.perf_counter()
+    np.asarray(out[1])
+    rtt = time.perf_counter() - t0
+    per = []
+    for r in range(3):
+        t0 = time.perf_counter()
+        np.asarray(steps_loop(ts, jax.random.fold_in(key, 1000 + r))[1])
+        per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / n)
+    stats = jax.devices()[0].memory_stats() or {}
+    return {
+        "B": B, "remat_decoder": remat, "P": len(plan.seg_utt),
+        "Lmax": Lmax, "step_ms": round(float(np.median(per)) * 1e3, 2),
+        "frames_per_sec": round(int(olens.sum()) / float(np.median(per)), 1),
+        "peak_hbm_gb": round(stats.get("peak_bytes_in_use", -1) / 2 ** 30, 3)
+        if stats else None,
+        "loss_finite": bool(np.isfinite(loss0)),
+    }
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--one", nargs=2, metavar=("B", "REMAT"), default=None)
+    ap.add_argument("--max-b", type=int, default=128)
+    ap.add_argument("--out", type=str, default=os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "results", "KD_envelope.json"))
+    args = ap.parse_args(argv)
+
+    if args.one:
+        B, remat = int(args.one[0]), args.one[1] == "True"
+        print("ROW " + json.dumps(run_one(B, remat, args.reps)), flush=True)
+        return
+
+    rows = []
+    for remat in (False, True):
+        B = 16
+        while B <= args.max_b:
+            cmd = [sys.executable, os.path.abspath(__file__), "--one",
+                   str(B), str(remat), "--reps", str(args.reps)]
+            r = subprocess.run(cmd, capture_output=True, text=True,
+                               timeout=1800)
+            row_lines = [ln for ln in r.stdout.splitlines()
+                         if ln.startswith("ROW ")]
+            if r.returncode != 0 or not row_lines:
+                err = (r.stdout + r.stderr)[-400:]
+                rows.append({"B": B, "remat_decoder": remat,
+                             "status": "OOM/FAILED", "detail": err})
+                print(f"B={B} remat={remat}: FAILED", flush=True)
+                break  # larger B will not fit either
+            row = json.loads(row_lines[-1][4:])
+            rows.append(row)
+            print(json.dumps(row), flush=True)
+            B *= 2
+
+    import jax
+    payload = {
+        "protocol": {
+            "what": "one-jit KD step (teacher fwd + student fwd/bwd/"
+                    "update) at 96 phonemes/utt, mean dur 8; chained "
+                    "fori_loop of --reps steps, median of 3 loop calls, "
+                    "readback-forced; peak HBM per (B, remat) from a "
+                    "fresh subprocess",
+            "backend": jax.default_backend(),
+            "device": str(jax.devices()[0]),
+        },
+        "rows": rows,
+    }
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(payload, f, indent=2)
+    print(f"wrote {args.out}")
+
+
+if __name__ == "__main__":
+    main()
