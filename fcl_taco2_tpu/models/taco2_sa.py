@@ -351,10 +351,30 @@ class Tacotron2SA:
             kernel_wdt = jnp.bfloat16
         else:
             kernel_wdt = None
+        # HBM weight-streaming kernel: teacher-size models (weights >
+        # VMEM) on a SINGLE phoneme tile — each grid tile re-streams the
+        # big matrices, so multi-tile batches are faster on the XLA scan
+        # (measured: 1.19-1.25x vs scan at P=128, 0.76x at P=512,
+        # results/PALLAS_decoder.json hbm_stream columns)
+        from fcl_taco2_tpu.ops.decoder_pallas import (TILE,
+                                                      hbm_stream_compatible)
+        hbm_ok = (hbm_stream_compatible(cfg) and kernel_wdt is None
+                  and P <= TILE)
         if decoder_backend == "auto":
-            use_pallas = (jax.default_backend() == "tpu"
-                          and pallas_compatible and kernel_wdt is not None)
+            on_tpu = jax.default_backend() == "tpu"
+            use_pallas = on_tpu and pallas_compatible and \
+                kernel_wdt is not None
+            use_hbm = on_tpu and not use_pallas and hbm_ok
+        elif decoder_backend == "pallas_hbm":
+            use_pallas = False
+            use_hbm = True
+            if not hbm_stream_compatible(cfg):
+                raise ValueError(
+                    "decoder_backend='pallas_hbm' requires prenet_layers=2, "
+                    "append_position, use_concate, dlayers=2, "
+                    "reduction_factor=1 and dunits % 256 == 0")
         else:
+            use_hbm = False
             use_pallas = decoder_backend == "pallas"
             if use_pallas and not pallas_compatible:
                 raise ValueError(
@@ -365,7 +385,8 @@ class Tacotron2SA:
                 raise ValueError(
                     "decoder_backend='pallas' but the decoder weights fit "
                     "VMEM in neither fp32 nor bf16 (ops/decoder_pallas."
-                    "fits_vmem); use decoder_backend='auto' or 'scan'")
+                    "fits_vmem); use decoder_backend='auto', 'pallas_hbm' "
+                    "or 'scan'")
         if use_pallas:
             # fused Pallas AR loop: decoder weights stay resident in VMEM
             # across all D steps (ops/decoder_pallas.py; 2-2.7x vs scan
@@ -376,6 +397,18 @@ class Tacotron2SA:
                 params["decoder"], enc_seg, position, seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
                 weights_dtype=kernel_wdt)
+            seg_out = seg_out.astype(dtype) \
+                * frame_mask[..., None].astype(dtype)
+        elif use_hbm:
+            # weight-streaming Pallas AR loop: big recurrent matrices stay
+            # in HBM, double-buffered into VMEM per chunk (bf16 weights —
+            # fp32 doubles the DMA bound, measured slower)
+            from fcl_taco2_tpu.ops.decoder_pallas import fused_ar_decode_hbm
+            seed = jax.random.randint(k_dec, (), 0, 2 ** 31 - 1)
+            seg_out = fused_ar_decode_hbm(
+                params["decoder"], enc_seg, position, seed,
+                zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
+                weights_dtype=jnp.bfloat16)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
         else:

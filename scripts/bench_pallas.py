@@ -259,11 +259,16 @@ def main(argv=None):
                         and r["best_fused_speedup_vs_best_scan"]
                         for r in rows)
     t_tf = train_rows[0]
+    t_hbm = {r["P"]: r.get("best_hbm_stream_speedup_vs_best_scan")
+             for r in rows if r["model"] == "teacher"}
     payload["conclusion"] = (
-        f"fused kernel student speedups {student_wins}; teacher fused "
-        + ("ran" if teacher_fused else
-           "NOT APPLICABLE (weights exceed VMEM in fp32 and bf16; "
-           "teacher decode uses the XLA scan, bf16 compute is its lever)")
+        f"fused (VMEM-resident) kernel student speedups {student_wins}; "
+        "teacher VMEM-resident NOT APPLICABLE (weights exceed VMEM in "
+        "fp32 and bf16) but the HBM weight-streaming kernel "
+        f"(fused_ar_decode_hbm) wins {t_hbm} vs the scan per P — "
+        "profitable ONLY on a single 128-row tile (each grid tile "
+        "re-streams the weights), which is the batch-1 serving path; "
+        "synthesize's auto policy gates on P <= TILE accordingly"
         + f"; training path: teacher teacher-forced scan fwd "
           f"{t_tf['tf_scan_fwd_ms']:.1f} ms / fwd+bwd "
           f"{t_tf['tf_scan_fwd_bwd_ms']:.1f} ms at B=16 — residency "

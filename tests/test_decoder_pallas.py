@@ -117,3 +117,46 @@ def test_hbm_stream_kernel_matches_scan(monkeypatch):
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    atol=2e-5,
                                    err_msg=f"chunk_rows={chunk_rows}")
+
+
+def test_synthesize_pallas_hbm_backend(monkeypatch):
+    """End-to-end synthesize routing through the weight-streaming kernel
+    (decoder_backend='pallas_hbm', interpret mode): output must match the
+    scan backend with dropout disabled, and the compat gate must reject
+    unsupported topologies."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    from fcl_taco2_tpu.models import Tacotron2SA
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dunits=256, dropout_rate=0.0, zoneout_rate=0.0)
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.array([[1, 4, 2, 7, 0]]), jnp.int32)
+    ilens = jnp.asarray([4], jnp.int32)
+    kw = dict(frame_budget=32, rng=jax.random.PRNGKey(1))
+    want = model.synthesize(params, state, tokens, ilens,
+                            decoder_backend="scan", **kw)
+    got = model.synthesize(params, state, tokens, ilens,
+                           decoder_backend="pallas_hbm", **kw)
+    np.testing.assert_array_equal(np.asarray(want["olens"]),
+                                  np.asarray(got["olens"]))
+    # the HBM path runs bf16 weights by design (fp32 doubles the DMA
+    # bound): tolerance is bf16 weight-rounding, not fp32-exact
+    np.testing.assert_allclose(np.asarray(got["mel"]),
+                               np.asarray(want["mel"]), atol=2e-3)
+
+    bad = tiny_config(dunits=20)  # not chunkable: dunits % 256 != 0
+    bad_model = Tacotron2SA(bad)
+    bp, bs = bad_model.init(jax.random.PRNGKey(0))
+    with pytest.raises(ValueError, match="pallas_hbm"):
+        bad_model.synthesize(bp, bs, tokens, ilens,
+                             decoder_backend="pallas_hbm", **kw)
