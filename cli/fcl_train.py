@@ -73,9 +73,13 @@ def get_parser():
     p.add_argument("--append-position", type=strtobool, default=True)
     p.add_argument("--max-dur", type=int, default=50)
     p.add_argument("--compute-dtype", type=str, default="bfloat16")
-    p.add_argument("--remat-decoder", type=strtobool, default=False,
+    p.add_argument("--remat-decoder", type=strtobool, default=None,
                    help="recompute decoder scan activations on backward "
-                        "(enables ~2-4x larger batches)")
+                        "(enables ~2-4x larger batches). Default: on for "
+                        "KD runs, off otherwise — remat measured faster "
+                        "at every batch size for the KD step "
+                        "(results/KD_envelope.json) and ~parity for plain "
+                        "training")
     p.add_argument("--model-module", type=str, default=None,
                    help="accepted for reference-config compatibility")
     p.add_argument("--use-second-target", type=strtobool, default=True)
@@ -150,7 +154,7 @@ def model_config_from_args(args, idim, odim=80):
         use_fe_condition=args.use_fe_condition,
         append_position=args.append_position, max_dur=args.max_dur,
         compute_dtype=args.compute_dtype,
-        remat_decoder=args.remat_decoder)
+        remat_decoder=bool(args.remat_decoder))
 
 
 def infer_idim_odim(valid_json):
@@ -207,6 +211,13 @@ def main(argv=None):
     from fcl_taco2_tpu.data import load_manifest
     from fcl_taco2_tpu.models import Tacotron2SA
     from fcl_taco2_tpu.train.loop import Trainer
+
+    if args.remat_decoder is None:
+        # measured: remat >= parity for the KD step at every batch size
+        # and strictly lower memory (results/KD_envelope.json); ~parity
+        # for plain training (README perf notes), so only default it on
+        # where it wins.
+        args.remat_decoder = bool(args.perform_kd)
 
     idim, odim = infer_idim_odim(args.valid_json)
     train_utts = load_manifest(args.train_json, pad_eos=args.pad_eos)

@@ -87,23 +87,37 @@ def run_one(B, remat, reps):
             return (ts2, report["loss"])
         return jax.lax.fori_loop(0, n, body, (ts, jnp.float32(0.0)))
 
-    out = steps_loop(ts, key)
-    loss0 = float(np.asarray(out[1]))  # compile + warm + force
+    compiled = steps_loop.lower(ts, key).compile()
+    # runtime memory_stats() is unavailable over the axon relay, so
+    # account HBM from the compiled executable instead: arguments +
+    # outputs + XLA temp (the scratch high-water mark).
+    try:
+        ma = compiled.memory_analysis()
+        hbm = (ma.argument_size_in_bytes + ma.output_size_in_bytes
+               + ma.temp_size_in_bytes)
+        hbm_detail = {
+            "args_gb": round(ma.argument_size_in_bytes / 2 ** 30, 3),
+            "temp_gb": round(ma.temp_size_in_bytes / 2 ** 30, 3),
+        }
+    except Exception:
+        hbm, hbm_detail = None, None
+
+    out = compiled(ts, key)
+    loss0 = float(np.asarray(out[1]))  # warm + force
     t0 = time.perf_counter()
     np.asarray(out[1])
     rtt = time.perf_counter() - t0
     per = []
     for r in range(3):
         t0 = time.perf_counter()
-        np.asarray(steps_loop(ts, jax.random.fold_in(key, 1000 + r))[1])
+        np.asarray(compiled(ts, jax.random.fold_in(key, 1000 + r))[1])
         per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / n)
-    stats = jax.devices()[0].memory_stats() or {}
     return {
         "B": B, "remat_decoder": remat, "P": len(plan.seg_utt),
         "Lmax": Lmax, "step_ms": round(float(np.median(per)) * 1e3, 2),
         "frames_per_sec": round(int(olens.sum()) / float(np.median(per)), 1),
-        "peak_hbm_gb": round(stats.get("peak_bytes_in_use", -1) / 2 ** 30, 3)
-        if stats else None,
+        "peak_hbm_gb": round(hbm / 2 ** 30, 3) if hbm is not None else None,
+        "hbm_detail": hbm_detail,
         "loss_finite": bool(np.isfinite(loss0)),
     }
 
@@ -150,8 +164,10 @@ def main(argv=None):
             "what": "one-jit KD step (teacher fwd + student fwd/bwd/"
                     "update) at 96 phonemes/utt, mean dur 8; chained "
                     "fori_loop of --reps steps, median of 3 loop calls, "
-                    "readback-forced; peak HBM per (B, remat) from a "
-                    "fresh subprocess",
+                    "readback-forced; peak HBM = compiled-executable "
+                    "memory_analysis (args+outputs+temp) per (B, remat) "
+                    "in a fresh subprocess (runtime memory_stats is "
+                    "unavailable over the axon relay)",
             "backend": jax.default_backend(),
             "device": str(jax.devices()[0]),
         },

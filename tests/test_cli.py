@@ -120,3 +120,30 @@ def test_cli_multispeaker_training(tmp_path):
     with open(os.path.join(exp, "model.json")) as f:
         conf = json.load(f)
     assert conf["model_config"]["spk_embed_dim"] == 16
+
+
+def test_remat_default_resolution():
+    """--remat-decoder default is None -> on for KD, off for plain
+    training (basis: results/KD_envelope.json — remat >= parity at
+    every KD batch size); an explicit flag always wins."""
+    from cli.fcl_train import get_parser, model_config_from_args
+    from fcl_taco2_tpu.utils.cliconf import parse_with_configs
+
+    base = ["--train-json", "x.json", "--valid-json", "y.json",
+            "--outdir", "z"]
+    args = parse_with_configs(get_parser(), base)
+    assert args.remat_decoder is None
+    args.remat_decoder = bool(args.perform_kd)  # main()'s resolution
+    assert args.remat_decoder is False
+    cfg = model_config_from_args(args, idim=10, odim=8)
+    assert cfg.remat_decoder is False
+
+    kd = parse_with_configs(get_parser(), base + ["--perform-KD", "True"])
+    assert kd.remat_decoder is None and kd.perform_kd
+    kd.remat_decoder = bool(kd.perform_kd)
+    assert model_config_from_args(kd, idim=10, odim=8).remat_decoder is True
+
+    forced = parse_with_configs(
+        get_parser(), base + ["--perform-KD", "True",
+                              "--remat-decoder", "False"])
+    assert forced.remat_decoder is False
