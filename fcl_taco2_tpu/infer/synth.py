@@ -126,14 +126,14 @@ class Synthesizer:
             self._jitted[key] = jitted
         return self._jitted[key]
 
-    def synth_batch(self, token_lists: List[np.ndarray], rng,
-                    durations: Optional[List[np.ndarray]] = None,
-                    d_factor: float = 1.0):
-        """Synthesize a batch of token sequences; returns (mels, speeds).
-
-        mels: list of (L_i, odim) float32; speeds: frames/sec per utterance
-        measured over the whole batch call (wall clock includes D2H).
-        """
+    def _dispatch(self, token_lists: List[np.ndarray], rng,
+                  durations: Optional[List[np.ndarray]] = None,
+                  d_factor: float = 1.0):
+        """Asynchronously dispatch one batch; returns a pending handle for
+        ``_consume``.  The device computes while the host prepares (or
+        reads back) other batches — on remote-device links the D2H
+        readback is a large share of serving wall, so overlapping it with
+        the next batch's compute is close to free throughput."""
         n = len(token_lists)
         B = self.batch_size
         if n > B:
@@ -169,9 +169,17 @@ class Synthesizer:
 
         t0 = time.perf_counter()
         out = fn(*dev_args)
+        return {"out": out, "t0": t0, "n": n, "B": B, "Tmax": Tmax,
+                "budget": budget, "dev_args": dev_args,
+                "predicted": durations is None}
+
+    def _consume(self, pend):
+        """Block on a pending batch; returns (mels, stats)."""
+        out = pend["out"]
+        n, budget = pend["n"], pend["budget"]
         mel = np.asarray(out["mel"])  # blocks
         olens = np.asarray(out["olens"])
-        wall = time.perf_counter() - t0
+        wall = time.perf_counter() - pend["t0"]
 
         # never return truncated mels (the reference can never truncate —
         # exact per-utterance shapes, tts.py:655-674): when predicted
@@ -180,16 +188,17 @@ class Synthesizer:
         # exact bucket.  At most one extra pass: d_outs don't depend on
         # the budget.
         redispatched = 0
-        while durations is None and int((olens[:n] >= budget).sum()):
+        while pend["predicted"] and int((olens[:n] >= budget).sum()):
             need = int(np.asarray(out["d_outs"])[:n].sum(axis=1).max())
             new_budget = _round_up(need, self.frame_bucket)
             if new_budget <= budget:
                 break  # budget boundary hit exactly; nothing was dropped
             budget = new_budget
             redispatched += 1
-            fn = self._fn(B, Tmax, budget, warm_args=dev_args)
+            fn = self._fn(pend["B"], pend["Tmax"], budget,
+                          warm_args=pend["dev_args"])
             t0 = time.perf_counter()
-            out = fn(*dev_args)
+            out = fn(*pend["dev_args"])
             mel = np.asarray(out["mel"])
             olens = np.asarray(out["olens"])
             wall = time.perf_counter() - t0
@@ -200,6 +209,18 @@ class Synthesizer:
         return mels, {"frames_per_sec": fps, "wall_sec": wall,
                       "total_frames": total_frames,
                       "truncated": 0, "redispatched": redispatched}
+
+    def synth_batch(self, token_lists: List[np.ndarray], rng,
+                    durations: Optional[List[np.ndarray]] = None,
+                    d_factor: float = 1.0):
+        """Synthesize a batch of token sequences; returns (mels, speeds).
+
+        mels: list of (L_i, odim) float32; speeds: frames/sec per utterance
+        measured over the whole batch call (wall clock includes D2H).
+        """
+        return self._consume(self._dispatch(token_lists, rng,
+                                            durations=durations,
+                                            d_factor=d_factor))
 
     def synth_manifest(self, utts: List[Utterance], out_dir,
                        write_ark=True, rng=None, label="decode",
@@ -220,6 +241,33 @@ class Synthesizer:
             if write_ark else None
         speeds = []
         utt_lines = []
+        total_frames = 0
+        t_start = time.perf_counter()
+
+        def finish(chunk, pend):
+            mels, stats = self._consume(pend)
+            speeds.append(stats["frames_per_sec"])
+            # per-utterance speed lines (reference logs one per utt,
+            # tts.py:665-674); decode here is batched so each line
+            # carries the utterance's frames over its batch's wall —
+            # the distribution exposes straggler buckets
+            for u, m in zip(chunk, mels):
+                fps_u = (m.shape[0] / stats["wall_sec"]
+                         if stats["wall_sec"] > 0 else float("inf"))
+                utt_lines.append(
+                    f"{u.uttid} frames {m.shape[0]} "
+                    f"batch_wall_sec {stats['wall_sec']:.4f} "
+                    f"frames_per_sec {fps_u:.1f}\n")
+            if writer:
+                for u, m in zip(chunk, mels):
+                    writer.write(u.uttid, m)
+            return stats["total_frames"]
+
+        # 1-deep pipeline: batch k+1 is DISPATCHED (async) before batch k
+        # is read back, so device compute overlaps host readback/IO — per-
+        # batch wall stays honest (dispatch -> readback-complete), total
+        # throughput gains the overlap
+        pending = None
         try:
             for i in range(0, len(utts), self.batch_size):
                 chunk = utts[i:i + self.batch_size]
@@ -227,31 +275,23 @@ class Synthesizer:
                 durs = None
                 if use_gt_durations:
                     durs = [load_features(u)[1] for u in chunk]
-                mels, stats = self.synth_batch(
-                    [u.tokenids for u in chunk], sub, durations=durs,
-                    d_factor=d_factor)
-                speeds.append(stats["frames_per_sec"])
-                # per-utterance speed lines (reference logs one per utt,
-                # tts.py:665-674); decode here is batched so each line
-                # carries the utterance's frames over its batch's wall —
-                # the distribution exposes straggler buckets
-                for u, m in zip(chunk, mels):
-                    fps_u = (m.shape[0] / stats["wall_sec"]
-                             if stats["wall_sec"] > 0 else float("inf"))
-                    utt_lines.append(
-                        f"{u.uttid} frames {m.shape[0]} "
-                        f"batch_wall_sec {stats['wall_sec']:.4f} "
-                        f"frames_per_sec {fps_u:.1f}\n")
-                if writer:
-                    for u, m in zip(chunk, mels):
-                        writer.write(u.uttid, m)
+                disp = self._dispatch([u.tokenids for u in chunk], sub,
+                                      durations=durs, d_factor=d_factor)
+                if pending is not None:
+                    total_frames += finish(*pending)
+                pending = (chunk, disp)
+            if pending is not None:
+                total_frames += finish(*pending)
         finally:
             if writer:
                 writer.close()
+        total_wall = time.perf_counter() - t_start
         mean_fps = float(np.mean(speeds)) if speeds else 0.0
+        total_fps = total_frames / total_wall if total_wall > 0 else 0.0
         with open(os.path.join(out_dir, f"{label}.txt"), "w") as f:
             f.writelines(utt_lines)
             f.write(f"mean_frames_per_sec {mean_fps:.1f}\n")
+            f.write(f"total_frames_per_sec {total_fps:.1f}\n")
             if speeds:  # batch-throughput distribution (p50/p95)
                 f.write("p50_frames_per_sec "
                         f"{float(np.percentile(speeds, 50)):.1f}\n")

@@ -51,7 +51,7 @@ def main(argv=None):
                     key=lambda s: int(s.rsplit(".", 2)[1]))
     assert len(shards) == args.parts, shards
 
-    utt_fps, utt_frames, shard_means = [], [], []
+    utt_fps, utt_frames, shard_means, shard_totals = [], [], [], []
     t0 = time.time()
     for k, shard in enumerate(shards):
         out_dir = os.path.join("/tmp/fcl_decode_proto", f"shard{k + 1}")
@@ -64,6 +64,8 @@ def main(argv=None):
                 parts = ln.split()
                 if parts[0] == "mean_frames_per_sec":
                     shard_means.append(float(parts[1]))
+                elif parts[0] == "total_frames_per_sec":
+                    shard_totals.append(float(parts[1]))
                 elif len(parts) >= 7 and parts[1] == "frames":
                     # "<utt> frames <n> batch_wall_sec <t>
                     #  frames_per_sec <fps>"
@@ -99,6 +101,8 @@ def main(argv=None):
             "mean": round(float(fps.mean()), 1),
         },
         "per_shard_mean_fps": [round(m, 1) for m in shard_means],
+        "per_shard_pipelined_total_fps": [round(m, 1)
+                                          for m in shard_totals],
     }
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
     with open(args.out, "w") as f:
