@@ -248,6 +248,63 @@ class Tacotron2SA:
 
     # ---------------- inference ----------------
 
+    def synth_frontend(self, params, state, tokens, ilens, durations=None,
+                       f0=None, energy=None, spembs=None,
+                       d_factor: float = 1.0):
+        """Encoder + duration/pitch/energy predictors + fe-conditioning —
+        the per-phoneme half of synthesis (everything before the AR
+        decoder).  Shared by ``synthesize`` (whole-utterance) and
+        ``infer.stream.StreamTTS`` (chunked streaming decode).
+
+        Returns (hs, d_outs, p_outs, e_outs): hs (B, Tmax, adim) in
+        compute dtype, conditioned; d_outs (B, Tmax) int32 clipped
+        per-token frame counts (zero at padding).
+        """
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        if dtype != jnp.float32:
+            params = _cast_floats(params, dtype)
+        B, Tmax = tokens.shape
+        hs, _, _ = encoder_apply(params["encoder"], state["encoder"], cfg,
+                                 tokens, ilens, None, train=False)
+        if cfg.spk_embed_dim:
+            hs = _concat_spemb(hs, spembs)
+        pad_mask = lengths_to_pad_mask(ilens, Tmax)
+
+        if durations is None:
+            d_outs = C.duration_predictor_inference(
+                params["duration_predictor"], hs, pad_mask,
+                offset=cfg.duration_predictor_offset)
+        else:
+            d_outs = durations.astype(jnp.int32)
+        # speaking-rate knob applies to BOTH sources; d_factor is a traced
+        # scalar so changing the rate does NOT recompile (exact identity at
+        # 1.0: round(int * 1.0) == int)
+        d_outs = jnp.round(d_outs.astype(jnp.float32)
+                           * jnp.asarray(d_factor, jnp.float32)
+                           ).astype(jnp.int32)
+        d_outs = jnp.clip(d_outs, 0, cfg.max_dur)
+        d_outs = jnp.where(pad_mask, 0, d_outs)
+
+        if cfg.use_fe_condition:
+            if f0 is None:
+                p_outs = C.variance_predictor_apply(
+                    params["pitch_predictor"], hs, pad_mask, None,
+                    0.0, False)
+                e_outs = C.variance_predictor_apply(
+                    params["energy_predictor"], hs, pad_mask, None,
+                    0.0, False)
+            else:
+                p_outs, e_outs = f0, energy
+            p_embs = C.scalar_embed_apply(params["pitch_embed"], p_outs,
+                                          None, 0.0, False)
+            e_embs = C.scalar_embed_apply(params["energy_embed"], e_outs,
+                                          None, 0.0, False)
+            hs = hs + p_embs + e_embs
+        else:
+            p_outs = e_outs = None
+        return hs, d_outs, p_outs, e_outs
+
     def synthesize(self, params, state, tokens, ilens, rng,
                    frame_budget: int,
                    durations=None, f0=None, energy=None, spembs=None,
@@ -276,46 +333,11 @@ class Tacotron2SA:
         B, Tmax = tokens.shape
         D = cfg.max_dur
         P = B * Tmax  # one segment slot per token
-        k_enc, k_dec = random.split(rng)
+        _, k_dec = random.split(rng)
 
-        hs, _, _ = encoder_apply(params["encoder"], state["encoder"], cfg,
-                                 tokens, ilens, None, train=False)
-        if cfg.spk_embed_dim:
-            hs = _concat_spemb(hs, spembs)
-        pad_mask = lengths_to_pad_mask(ilens, Tmax)
-
-        if durations is None:
-            d_outs = C.duration_predictor_inference(
-                params["duration_predictor"], hs, pad_mask,
-                offset=cfg.duration_predictor_offset)
-        else:
-            d_outs = durations.astype(jnp.int32)
-        # speaking-rate knob applies to BOTH sources; d_factor is a traced
-        # scalar so changing the rate does NOT recompile (exact identity at
-        # 1.0: round(int * 1.0) == int)
-        d_outs = jnp.round(d_outs.astype(jnp.float32)
-                           * jnp.asarray(d_factor, jnp.float32)
-                           ).astype(jnp.int32)
-        d_outs = jnp.clip(d_outs, 0, D)
-        d_outs = jnp.where(pad_mask, 0, d_outs)
-
-        if cfg.use_fe_condition:
-            if f0 is None:
-                p_outs = C.variance_predictor_apply(
-                    params["pitch_predictor"], hs, pad_mask, None,
-                    0.0, False)
-                e_outs = C.variance_predictor_apply(
-                    params["energy_predictor"], hs, pad_mask, None,
-                    0.0, False)
-            else:
-                p_outs, e_outs = f0, energy
-            p_embs = C.scalar_embed_apply(params["pitch_embed"], p_outs,
-                                          None, 0.0, False)
-            e_embs = C.scalar_embed_apply(params["energy_embed"], e_outs,
-                                          None, 0.0, False)
-            hs = hs + p_embs + e_embs
-        else:
-            p_outs = e_outs = None
+        hs, d_outs, p_outs, e_outs = self.synth_frontend(
+            params, state, tokens, ilens, durations=durations, f0=f0,
+            energy=energy, spembs=spembs, d_factor=d_factor)
 
         # ---- device-side segment plan from durations ----
         # Segments in utterance-major token order; zero-duration tokens keep
