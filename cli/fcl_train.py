@@ -86,6 +86,10 @@ def get_parser():
     p.add_argument("--pad-eos", type=strtobool, default=False,
                    help="append eos (=vocab_size-1) to each token sequence "
                         "(io_utils_fcl.py:325-326)")
+    p.add_argument("--preprocess-conf", type=str, default=None,
+                   help="feature-transform conf applied by the loader "
+                        "(espnet Transformation schema; tts_train.py:190, "
+                        "io_utils_fcl.py:58-66)")
     # batching (tts_train.py:118-182)
     p.add_argument("--batch-size", "-b", type=int, default=16)
     p.add_argument("--batch-sort-key", type=str, default="shuffle",
@@ -188,6 +192,7 @@ def train_config_from_args(args):
         sortagrad=args.sortagrad, seed=args.seed,
         n_devices=args.n_devices, n_slices=args.n_slices,
         resume=args.resume, profile_dir=args.profile_dir,
+        preprocess_conf=args.preprocess_conf,
         checkpoint_on_signal=True)
 
 

@@ -292,6 +292,15 @@ def run_preprocess(cfg: PreprocessConfig, uttids=None, log=print):
         wavs.append(x)
     feats = Frontend(cfg).process(wavs)
 
+    # pre-fix-up alignment durations artifact (preprocess.py:191-194
+    # durations_MFA-ori: the raw TextGrid frame counts BEFORE the final
+    # token absorbs the mel-length mismatch)
+    ori_root = os.path.join(cfg.feature_root, "durations_MFA-ori")
+    os.makedirs(ori_root, exist_ok=True)
+    for uttid, (phones, durs) in utt_align.items():
+        np.save(os.path.join(ori_root, f"{uttid}.npy"),
+                np.asarray(durs, np.int64).reshape(-1, 1))
+
     utt_data = {}
     for uttid, (mel, f0, en) in zip(ids, feats):
         phones, durs = utt_align[uttid]

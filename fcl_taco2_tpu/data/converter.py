@@ -32,11 +32,19 @@ class BatchConverter:
                  tok_bucket=8, frame_bucket=64, seg_bucket=64,
                  odim=80, cache=None, fixed_tmax: Optional[int] = None,
                  fixed_lmax: Optional[int] = None,
-                 fixed_nseg: Optional[int] = None):
+                 fixed_nseg: Optional[int] = None,
+                 transform=None, transform_train: bool = False):
         """With ``fixed_*`` set, every batch gets the SAME shape — one XLA
         compile for the whole run (compiles cost minutes on remote TPU
         attachments, so fixed shapes beat fine-grained bucketing unless
         the padding waste is extreme).  Use ``fit_corpus`` to derive caps.
+
+        ``transform``: optional ``data.transform.Transformation`` applied
+        to each utterance's mel after loading (reference --preprocess-conf,
+        io_utils_fcl.py:58-66); ``transform_train`` is the mode flag the
+        reference threads as preprocess_args={"train": ...}
+        (tts.py:486-498).  Applied AFTER the cache so stochastic
+        (train-only) ops re-draw every epoch.
         """
         self.max_dur = max_dur
         self.batch_size = batch_size
@@ -48,6 +56,8 @@ class BatchConverter:
         self.fixed_tmax = fixed_tmax
         self.fixed_lmax = fixed_lmax
         self.fixed_nseg = fixed_nseg
+        self.transform = transform
+        self.transform_train = transform_train
 
     def fit_corpus(self, utts):
         """Set fixed shapes from corpus metadata, valid for ANY batch of up
@@ -78,8 +88,14 @@ class BatchConverter:
         if self.cache is not None:
             if utt.uttid not in self.cache:
                 self.cache[utt.uttid] = load_features(utt)
-            return self.cache[utt.uttid]
-        return load_features(utt)
+            feats = self.cache[utt.uttid]
+        else:
+            feats = load_features(utt)
+        if self.transform is not None:
+            mel, dur, f0, en = feats
+            mel = self.transform(mel, train=self.transform_train)
+            feats = (mel, dur, f0, en)
+        return feats
 
     def __call__(self, utts: List[Utterance]) -> Batch:
         feats = [self._features(u) for u in utts]

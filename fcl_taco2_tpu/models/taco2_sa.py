@@ -357,6 +357,41 @@ class Tacotron2SA:
             0.0).astype(dtype)
 
         enc_seg = gather_token_vectors(hs, seg_utt, seg_tok)
+        seg_out = self.decode_segments(params, state, enc_seg, flat_dur,
+                                       position, frame_mask, k_dec,
+                                       decoder_backend=decoder_backend)
+
+        # scatter phoneme frames into per-utterance timelines; frames past
+        # the budget or past each phoneme's duration go to a drop slot
+        frame_pos = seg_start[:, None] + d_range
+        keep = frame_mask & (frame_pos < frame_budget)
+        tgt = jnp.where(keep, seg_utt[:, None] * frame_budget + frame_pos,
+                        B * frame_budget)
+        flat = jnp.zeros((B * frame_budget + 1, cfg.odim), seg_out.dtype)
+        flat = flat.at[tgt.reshape(-1)].set(
+            seg_out.reshape(P * D, cfg.odim), mode="drop")
+        before = flat[:B * frame_budget].reshape(B, frame_budget, cfg.odim)
+
+        seq_mask = lengths_to_non_pad_mask(olens, frame_budget)
+        after = apply_postnet_inference(params["decoder"], state["decoder"],
+                                        cfg, before, seq_mask=seq_mask)
+        out_mask = seq_mask[..., None]
+        after = after * out_mask.astype(after.dtype)
+        return {"mel": after.astype(jnp.float32), "olens": olens,
+                "d_outs": d_outs, "p_outs": p_outs, "e_outs": e_outs}
+
+    def decode_segments(self, params, state, enc_seg, flat_dur, position,
+                        frame_mask, k_dec, decoder_backend: str = "auto"):
+        """AR-decode a batch of phoneme segments -> (P, max_dur, odim).
+
+        The backend dispatch half of ``synthesize`` — shared by
+        whole-utterance synthesis and ``infer.stream.StreamTTS`` (which
+        decodes phoneme CHUNKS incrementally).  ``params`` must already
+        be cast to the compute dtype.
+        """
+        cfg = self.cfg
+        dtype = jnp.dtype(cfg.compute_dtype)
+        P, D = frame_mask.shape
         # the fused kernel hard-codes the reference topology: 2 prenet
         # layers, appended position column, enc-concat feat_out, 2 LSTMs
         pallas_compatible = (cfg.prenet_layers == 2 and cfg.append_position
@@ -437,22 +472,4 @@ class Tacotron2SA:
             seg_out = decoder_inference(params["decoder"], state["decoder"],
                                         cfg, enc_seg, flat_dur, position,
                                         frame_mask, k_dec)
-
-        # scatter phoneme frames into per-utterance timelines; frames past
-        # the budget or past each phoneme's duration go to a drop slot
-        frame_pos = seg_start[:, None] + d_range
-        keep = frame_mask & (frame_pos < frame_budget)
-        tgt = jnp.where(keep, seg_utt[:, None] * frame_budget + frame_pos,
-                        B * frame_budget)
-        flat = jnp.zeros((B * frame_budget + 1, cfg.odim), seg_out.dtype)
-        flat = flat.at[tgt.reshape(-1)].set(
-            seg_out.reshape(P * D, cfg.odim), mode="drop")
-        before = flat[:B * frame_budget].reshape(B, frame_budget, cfg.odim)
-
-        seq_mask = lengths_to_non_pad_mask(olens, frame_budget)
-        after = apply_postnet_inference(params["decoder"], state["decoder"],
-                                        cfg, before, seq_mask=seq_mask)
-        out_mask = seq_mask[..., None]
-        after = after * out_mask.astype(after.dtype)
-        return {"mel": after.astype(jnp.float32), "olens": olens,
-                "d_outs": d_outs, "p_outs": p_outs, "e_outs": e_outs}
+        return seg_out

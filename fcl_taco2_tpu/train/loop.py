@@ -63,6 +63,11 @@ class TrainConfig:
     n_slices: int = 1  # >1: hybrid replica(DCN) x data(ICI) mesh
     resume: Optional[str] = None
     profile_dir: Optional[str] = None  # capture an XLA trace of epoch 0
+    # optional feature-transform conf applied by the loader (reference
+    # --preprocess-conf -> espnet Transformation, io_utils_fcl.py:58-66);
+    # train batches get train=True ops (e.g. SpecAug masks), validation
+    # gets train=False (tts.py:486-498)
+    preprocess_conf: Optional[str] = None
     fixed_shapes: bool = True  # one compile for the run (see BatchConverter)
     # preemption safety: on SIGTERM/SIGINT, finish the in-flight step, save
     # snapshot.preempt, and return cleanly (resumable via --resume).  The
@@ -97,6 +102,10 @@ class Trainer:
             max_dur=model.cfg.max_dur, batch_size=tcfg.batch_size,
             seg_bucket=max(64, n_data * 8), odim=model.cfg.odim,
             cache={} if cache_features else None)
+        if tcfg.preprocess_conf:
+            from fcl_taco2_tpu.data.transform import Transformation
+            self.converter.transform = Transformation(
+                tcfg.preprocess_conf, seed=tcfg.seed)
         if tcfg.fixed_shapes:
             # one static shape for the whole run: size caps from the whole
             # corpus (train + val so eval shares the compile)
@@ -153,7 +162,10 @@ class Trainer:
             num_batches=t.minibatches, seed=t.seed + epoch,
             odim=self.model.cfg.odim)
 
-    def _loader(self, batches):
+    def _loader(self, batches, train=True):
+        # phases never overlap (an epoch's loader is exhausted before
+        # evaluate runs), so toggling the shared converter's mode is safe
+        self.converter.transform_train = train
         return PrefetchLoader(batches, self.converter,
                               lambda b: make_global_batch(self.mesh, b))
 
@@ -170,7 +182,8 @@ class Trainer:
         # with empty utterances, and an equal-weight mean would count its
         # utterances bs/len(chunk) times in validation/main/loss — the
         # early-stop/best-model signal
-        for chunk, batch in zip(batches, self._loader(batches)):
+        for chunk, batch in zip(batches, self._loader(batches,
+                                                      train=False)):
             rng, sub = jax.random.split(rng)
             report = jax.device_get(self._run_eval_step(ts, batch, sub))
             self.reporter.report(report, prefix="validation/main",

@@ -101,6 +101,14 @@ def test_full_preprocess_to_training(tmp_path):
                           for u in splits["train"]])
     assert np.isfinite(f0s).all()
 
+    # pre-fix-up duration artifacts (preprocess.py:191-194): same token
+    # count as the fixed-up files; totals differ only in the LAST token
+    for u in splits["train"]:
+        ori = np.load(os.path.join(feat, "durations_MFA-ori", f"{u}.npy"))
+        fix = np.load(os.path.join(feat, "durations_MFA", f"{u}.npy"))
+        assert ori.shape == fix.shape
+        np.testing.assert_array_equal(ori[:-1], fix[:-1])
+
     # manifests load and a train step runs
     from fcl_taco2_tpu.data import load_manifest
     from fcl_taco2_tpu.models import Tacotron2SA
