@@ -30,6 +30,15 @@ def get_parser():
     p.add_argument("--batch-size", type=int, default=4)
     p.add_argument("--sample-rate", type=int, default=22050)
     p.add_argument("--seed", type=int, default=1)
+    p.add_argument("--pwg-config", type=str, default=None,
+                   help="json with PWGConfig field overrides (layers, "
+                        "upsample_scales, ...) for non-default vocoders")
+    p.add_argument("--stream", action="store_true",
+                   help="low-latency path: per-utterance chunked "
+                        "synthesis through infer.stream.StreamTTS "
+                        "(time-to-first-audio ~90 ms, "
+                        "results/STREAM_tts.json) instead of batched "
+                        "whole-utterance jit")
     return p
 
 
@@ -54,7 +63,14 @@ def main(argv=None):
     tp, ts = zeros_like_shapes(model.init, jax.random.PRNGKey(0))
     params, state = load_params_only(args.model, tp, ts)
 
-    pwg_cfg = PWGConfig(aux_channels=cfg.odim)
+    pwg_over = {"aux_channels": cfg.odim}
+    if args.pwg_config:
+        import json
+        with open(args.pwg_config) as f:
+            pwg_over.update(json.load(f))
+        if "upsample_scales" in pwg_over:
+            pwg_over["upsample_scales"] = tuple(pwg_over["upsample_scales"])
+    pwg_cfg = PWGConfig(**pwg_over)
     if args.pwg_checkpoint:
         pwg_params = load_pwg_checkpoint(args.pwg_checkpoint, pwg_cfg)
     else:
@@ -62,11 +78,41 @@ def main(argv=None):
         pwg_params = jax.jit(lambda k: pwg_init(k, pwg_cfg))(
             jax.random.PRNGKey(0))
 
-    pipe = TTSPipeline(model, params, state, pwg_params, pwg_cfg,
-                       sample_rate=args.sample_rate)
     utts = load_manifest(args.json)
     os.makedirs(args.outdir, exist_ok=True)
     rng = jax.random.PRNGKey(args.seed)
+
+    if args.stream:
+        import time
+
+        from fcl_taco2_tpu.infer.stream import StreamTTS
+
+        st = StreamTTS(model, params, state, pwg_params, pwg_cfg)
+        ttfas, rtfs = [], []
+        for u in utts:
+            rng, sub = jax.random.split(rng)
+            t0 = time.perf_counter()
+            ttfa = None
+            chunks = []
+            for c in st.stream(np.asarray(u.tokenids, np.int32), sub):
+                if ttfa is None:
+                    ttfa = time.perf_counter() - t0
+                chunks.append(c)
+            dt = time.perf_counter() - t0
+            wav = (np.concatenate(chunks) if chunks
+                   else np.zeros(0, np.float32))
+            if wav.size:
+                rtfs.append(wav.size / args.sample_rate / dt)
+                ttfas.append(ttfa)
+            write_wav(os.path.join(args.outdir, f"{u.uttid}.wav"), wav,
+                      args.sample_rate)
+        print(f"streamed {len(utts)} utts, median TTFA "
+              f"{float(np.median(ttfas)) * 1e3:.1f} ms, median "
+              f"{float(np.median(rtfs)):.1f}x realtime -> {args.outdir}")
+        return
+
+    pipe = TTSPipeline(model, params, state, pwg_params, pwg_cfg,
+                       sample_rate=args.sample_rate)
     rtfs = []
     for i in range(0, len(utts), args.batch_size):
         chunk = utts[i:i + args.batch_size]

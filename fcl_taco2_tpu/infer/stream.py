@@ -87,9 +87,11 @@ class StreamTTS:
         self.Pc = int(chunk_phonemes)
         self.Fc = int(postnet_chunk)
         self.Fv = int(vocode_frames)
-        self.tile = int(tile)
         self.hop = pwg_cfg.hop
         self.Vh = self.Fv * self.hop
+        # small-hop configs (tests, compact vocoders) get a whole-call
+        # tile; 1024 is the measured sweet spot for the full-size PWG
+        self.tile = min(int(tile), self.Vh)
         if self.Vh % self.tile:
             raise ValueError(
                 f"vocode_frames*hop ({self.Vh}) must be a multiple of "
