@@ -63,6 +63,11 @@ def get_parser():
                    help="speaker-embedding dim (None/0 = single speaker)")
     p.add_argument("--dropout-rate", type=float, default=0.5)
     p.add_argument("--zoneout-rate", type=float, default=0.1)
+    p.add_argument("--zoneout-rng", type=str, default="rbg",
+                   choices=("rbg", "threefry"),
+                   help="zoneout mask generator: 'rbg' = TPU hardware PRNG "
+                        "(fast, default), 'threefry' = jax counter-based "
+                        "stream (bit-reproducible across backends)")
     p.add_argument("--reduction-factor", type=int, default=1)
     p.add_argument("--duration-predictor-layers", type=int, default=2)
     p.add_argument("--duration-predictor-chans", type=int, default=384)
@@ -147,6 +152,7 @@ def model_config_from_args(args, idim, odim=80):
         use_batch_norm=args.use_batch_norm, use_concate=args.use_concate,
         reduction_factor=args.reduction_factor,
         dropout_rate=args.dropout_rate, zoneout_rate=args.zoneout_rate,
+        zoneout_rng=args.zoneout_rng,
         use_masking=args.use_masking,
         use_weighted_masking=args.use_weighted_masking,
         spk_embed_dim=args.spk_embed_dim or 0,

@@ -44,6 +44,12 @@ class ModelConfig:
     # regularization
     dropout_rate: float = 0.5
     zoneout_rate: float = 0.1
+    # zoneout mask generator: 'rbg' lowers to XLA RngBitGenerator (the TPU
+    # hardware PRNG) and generates all 2*dlayers step masks in one call —
+    # measured ~20% off the teacher decoder train scan vs per-mask threefry
+    # (results/PALLAS_decoder.json train_scan_experiments); 'threefry' keeps
+    # jax's default counter-based stream (bit-reproducible across backends)
+    zoneout_rng: str = "rbg"
 
     # losses (e2e_tts_tacotron2_sa.py:26-82: use_masking gates the mel and
     # pitch/energy criteria; the duration loss is always masked, :560-565)
@@ -122,6 +128,9 @@ class ModelConfig:
                              "mutually exclusive (e2e_tts_tacotron2_sa.py:39)")
         if self.compute_dtype not in ("float32", "bfloat16"):
             raise ValueError(f"unsupported compute_dtype {self.compute_dtype}")
+        if self.zoneout_rng not in ("rbg", "threefry"):
+            raise ValueError(f"unsupported zoneout_rng {self.zoneout_rng} "
+                             "(choose 'rbg' or 'threefry')")
         if self.spk_embed_dim < 0:
             raise ValueError("spk_embed_dim must be >= 0")
 

@@ -74,6 +74,27 @@ def decoder_init(key, cfg):
     return params, state
 
 
+def _zoneout_keep_masks(zo_key, cfg, P):
+    """All 2*dlayers keep-old bernoulli masks for one step, ONE bits call.
+
+    The reference draws each mask with an independent torch RNG op
+    (decoder_sa.py:91-93); a jax translation (split + bernoulli per mask)
+    spends ~20% of the teacher decoder's train-scan time in threefry lane
+    math (results/PALLAS_decoder.json train_scan_experiments).  Batching
+    the draw and, with cfg.zoneout_rng='rbg', lowering to XLA
+    RngBitGenerator (the TPU hardware PRNG) makes the masks nearly free;
+    'threefry' keeps jax's default counter-based stream.  ``zo_key`` is a
+    raw uint32[2] key-data pair (one per scan step)."""
+    n = 2 * cfg.dlayers
+    if cfg.zoneout_rng == "rbg":
+        key = random.wrap_key_data(jnp.tile(zo_key, 2), impl="unsafe_rbg")
+    else:
+        key = random.wrap_key_data(zo_key, impl="threefry2x32")
+    bits = random.bits(key, (n, P, cfg.dunits), jnp.uint32)
+    threshold = jnp.uint32(round(cfg.zoneout_rate * 0xFFFFFFFF))
+    return bits < threshold
+
+
 def _lstm_stack_step(params, cfg, x_t, carry, zo_key, train, xproj0=None):
     """One step of the dlayers-deep zoneout-LSTM stack.
 
@@ -83,7 +104,8 @@ def _lstm_stack_step(params, cfg, x_t, carry, zo_key, train, xproj0=None):
     only layer 0's input GEMM can be hoisted (layers >0 consume the
     carry-dependent h_{i-1})."""
     use_zo = train and cfg.zoneout_rate > 0.0
-    zo_keys = random.split(zo_key, 2 * cfg.dlayers) if use_zo else None
+    keep = _zoneout_keep_masks(zo_key, cfg, carry[0].shape[0]) if use_zo \
+        else None
     new_carry = []
     inp = x_t
     for i in range(cfg.dlayers):
@@ -93,10 +115,10 @@ def _lstm_stack_step(params, cfg, x_t, carry, zo_key, train, xproj0=None):
                                precomputed_xproj=xproj0)
         else:
             nh, nc = lstm_cell(C.as_lstm(params[f"lstm{i}"]), inp, h, c)
-        kh = zo_keys[2 * i] if use_zo else None
-        kc = zo_keys[2 * i + 1] if use_zo else None
-        nh = zoneout(h, nh, cfg.zoneout_rate, train=train, rng=kh)
-        nc = zoneout(c, nc, cfg.zoneout_rate, train=train, rng=kc)
+        kh = keep[2 * i] if use_zo else None
+        kc = keep[2 * i + 1] if use_zo else None
+        nh = zoneout(h, nh, cfg.zoneout_rate, train=train, keep=kh)
+        nc = zoneout(c, nc, cfg.zoneout_rate, train=train, keep=kc)
         new_carry += [nh, nc]
         inp = nh
     return tuple(new_carry)

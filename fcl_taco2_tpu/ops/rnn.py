@@ -59,16 +59,20 @@ def lstm_cell(params: LSTMParams, x, h, c, *, precomputed_xproj=None):
     return h_new, c_new
 
 
-def zoneout(old, new, rate, *, train, rng=None):
+def zoneout(old, new, rate, *, train, rng=None, keep=None):
     """Zoneout state blend (reference decoder_sa.py:82-96).
 
-    train: per-element bernoulli(rate) mask keeps the OLD state.
+    train: per-element bernoulli(rate) mask keeps the OLD state — drawn
+        from ``rng`` unless a precomputed boolean ``keep`` mask is given
+        (the decoder generates all step masks in one cheap RNG call,
+        models/decoder._zoneout_keep_masks).
     eval:  deterministic expectation blend rate*old + (1-rate)*new.
     """
     if rate <= 0.0:
         return new
     if train:
-        keep = jax.random.bernoulli(rng, rate, old.shape)
+        if keep is None:
+            keep = jax.random.bernoulli(rng, rate, old.shape)
         return jnp.where(keep, old, new)
     return rate * old + (1.0 - rate) * new
 
