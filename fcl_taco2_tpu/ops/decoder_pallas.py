@@ -120,15 +120,37 @@ def fits_vmem(cfg, D=None, budget=13 * 1024 * 1024,
     return vmem_bytes_estimate(cfg, D, weights_dtype) <= budget
 
 
+def _hbm_n_slots(n_chunks):
+    """DMA pipeline depth.  The walk repeats with period n_chunks across
+    steps, so slot assignment c % n_slots is only consistent when n_slots
+    divides n_chunks.  Measured (v5e, teacher P=128): 4 slots == 2 slots
+    to within noise (2.859 vs 2.850 ms) — the kernel sits at an additive
+    compute+DMA floor that deeper prefetch does not move (fp32 weights,
+    which double the DMA, land exactly +30 us/step on top of the same
+    compute) — so keep the cheaper 2-slot residency."""
+    return 2 if n_chunks % 2 == 0 else 1
+
+
 def _kernel_hbm(seed_ref, enc_gates_ref, enc_out_ref, pos_ref, pre_w1_ref,
                 pre_b1_ref, pre_w2_ref, pre_b2_ref, wx0_pre_ref, wx0_pos_ref,
                 bh0_ref, bx1_ref, bh1_ref, wf_z_ref, wbig_ref, out_ref,
                 wchunk, dma_sem, *, D, odim, dunits, CH, zoneout, dropout):
     """Teacher-size AR decoder loop: big recurrent matrices streamed from
-    HBM (see fused_ar_decode_hbm)."""
+    HBM (see fused_ar_decode_hbm).
+
+    DMA schedule: the step loop consumes weight chunks 0..n_chunks-1
+    cyclically forever, so the pipeline is a plain n_slots-deep rotating
+    buffer — consuming chunk c immediately re-arms its slot with chunk
+    (c + n_slots) % n_chunks (possibly of the NEXT step).  Keeping
+    n_slots chunks in flight lets the step's serial elementwise work
+    (prenet, LSTM nonlinearities) overlap weight streaming; with the
+    2-slot schedule those phases left the DMA engine idle and the kernel
+    ran at ~55% of its HBM roofline (results/PALLAS_decoder.json
+    hbm_pipeline experiment)."""
     H = dunits
     n_per = H // CH
     n_chunks = 3 * n_per  # wh0, wx1, wh1 stacked row-wise in wbig
+    n_slots = _hbm_n_slots(n_chunks)
     wdt = wf_z_ref.dtype
 
     def mm(a, w):
@@ -142,6 +164,16 @@ def _kernel_hbm(seed_ref, enc_gates_ref, enc_out_ref, pos_ref, pre_w1_ref,
             wbig_ref.at[pl.ds(c * CH, CH), :], wchunk.at[slot],
             dma_sem.at[slot])
 
+    def consume(c):
+        """Wait for chunk c, return its slot, re-arm the slot with the
+        chunk n_slots ahead in the cyclic walk."""
+        slot = c % n_slots
+        dma(c, slot).wait()
+        return slot
+
+    def rearm(c):
+        dma((c + n_slots) % n_chunks, c % n_slots).start()
+
     keep = 1.0 - zoneout
 
     def lstm_half(gates, h, c):
@@ -152,7 +184,8 @@ def _kernel_hbm(seed_ref, enc_gates_ref, enc_out_ref, pos_ref, pre_w1_ref,
 
     def step(t, carry):
         prev, h0, c0, h1, c1 = carry
-        # prenet (always-on dropout, decoder_sa.py:109-112)
+        # prenet (always-on dropout, decoder_sa.py:109-112); n_slots weight
+        # chunks stream underneath this serial phase
         p = jnp.maximum(mm(prev, pre_w1_ref[:]) + pre_b1_ref[:], 0.0)
         if dropout > 0.0:
             p = p * _dropout_bits(p.shape, dropout)
@@ -165,51 +198,38 @@ def _kernel_hbm(seed_ref, enc_gates_ref, enc_out_ref, pos_ref, pre_w1_ref,
                   + mm(p, wx0_pre_ref[:])
                   + pos_t * wx0_pos_ref[:].astype(jnp.float32)
                   + bh0_ref[:])
-        # h0 @ wh0, contraction chunked over streamed rows; the chunk walk
-        # is UNROLLED (static slices — Mosaic cannot dynamically slice the
-        # lane dim) and 2-slot double-buffered per the standard pattern:
-        # chunk c+1's DMA is in flight while chunk c's GEMM runs
-        for c in range(n_per):
-            if c + 1 < n_chunks:
-                dma(c + 1, (c + 1) % 2).start()
-            dma(c, c % 2).wait()
-            gates0 = gates0 + mm(h0[:, c * CH:(c + 1) * CH],
-                                 wchunk[c % 2])
+        # chunked contractions over streamed rows; walks are UNROLLED
+        # (static slices — Mosaic cannot dynamically slice the lane dim)
+        for c in range(n_per):  # h0 @ wh0
+            slot = consume(c)
+            gates0 = gates0 + mm(h0[:, c * CH:(c + 1) * CH], wchunk[slot])
+            rearm(c)
         h0n, c0n = lstm_half(gates0, h0, c0)
 
         gates1 = bx1_ref[:] + bh1_ref[:]
         for k in range(n_per):  # h0n @ wx1
             c = n_per + k
-            if c + 1 < n_chunks:
-                dma(c + 1, (c + 1) % 2).start()
-            dma(c, c % 2).wait()
-            gates1 = gates1 + mm(h0n[:, k * CH:(k + 1) * CH],
-                                 wchunk[c % 2])
+            slot = consume(c)
+            gates1 = gates1 + mm(h0n[:, k * CH:(k + 1) * CH], wchunk[slot])
+            rearm(c)
         for k in range(n_per):  # h1 @ wh1
             c = 2 * n_per + k
-            if c + 1 < n_chunks:
-                dma(c + 1, (c + 1) % 2).start()
-            dma(c, c % 2).wait()
-            gates1 = gates1 + mm(h1[:, k * CH:(k + 1) * CH],
-                                 wchunk[c % 2])
-            if c + 1 == n_chunks:
-                # prefetch the NEXT step's chunk 0 into slot 0 only after
-                # the final chunk is consumed: slot 0's occupant is already
-                # read regardless of n_chunks parity (starting it in the
-                # pre-wait position would overwrite an unconsumed chunk
-                # when n_chunks is odd)
-                dma(0, 0).start()
+            slot = consume(c)
+            gates1 = gates1 + mm(h1[:, k * CH:(k + 1) * CH], wchunk[slot])
+            rearm(c)
         h1n, c1n = lstm_half(gates1, h1, c1)
 
         out = mm(h1n, wf_z_ref[:]) + enc_out_ref[...]
         out_ref[:, t, :] = out
         return (out, h0n, c0n, h1n, c1n)
 
-    dma(0, 0).start()  # warm-up: chunk 0 of step 0
+    for c in range(n_slots):  # warm-up: first n_slots chunks of step 0
+        dma(c, c).start()
     zeros = jnp.zeros((TILE, dunits), jnp.float32)
     prev0 = jnp.zeros((TILE, odim), jnp.float32)
     jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
-    dma(0, 0).wait()  # drain the final prefetch before kernel exit
+    for c in range(n_slots):  # drain the in-flight rearms before exit
+        dma(c, c).wait()
 
 
 def hbm_stream_compatible(cfg):
@@ -317,8 +337,9 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pp, D, odim), jnp.float32),
         scratch_shapes=[
-            pltpu.VMEM((2, CH, 4 * H), weights_dtype),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((_hbm_n_slots(3 * H // CH), CH, 4 * H),
+                       weights_dtype),
+            pltpu.SemaphoreType.DMA((_hbm_n_slots(3 * H // CH),)),
         ],
     )(jnp.asarray(seed, jnp.int32).reshape(1), *args, wbig)
     return out[:P]
