@@ -218,22 +218,15 @@ TRAIN_B = 16            # teacher training batch (teacher_model_training.sh)
 V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 peak FLOP/s (public spec)
 
 
-def train_step_run():
-    """Teacher train-step throughput at B=16 bf16 (the reference's training
-    configuration, teacher_model_training.sh:14-30) + XLA cost-analysis
-    FLOPs -> model FLOPs utilization on the one v5e chip."""
-    import jax
-    from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
-    from fcl_taco2_tpu.models.taco2_sa import Batch
-    from fcl_taco2_tpu.ops.regroup import build_plan
-    from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
-    from fcl_taco2_tpu.train.optim import build_optimizer
-    from fcl_taco2_tpu.train.state import TrainState
-    from fcl_taco2_tpu.train.step import make_train_step
+DURATION_CLASSES = (8, 16, 32, 50)  # CLI default (--duration-classes)
 
-    cfg = teacher_config(idim=IDIM, odim=ODIM)
-    model = Tacotron2SA(cfg)
-    mesh = make_mesh(1)
+
+def _train_batch(duration_classes=()):
+    """bench-shape training batch; with duration_classes, the classed
+    plan the CLI-default training config uses (ops/regroup.ClassedPlan)."""
+    from fcl_taco2_tpu.models.taco2_sa import Batch, SegClass
+    from fcl_taco2_tpu.ops.regroup import (build_classed_plan, build_plan,
+                                           duration_class_caps)
 
     rng = np.random.default_rng(0)
     Tmax = N_PHONES
@@ -241,19 +234,53 @@ def train_step_run():
                         MAX_DUR).astype(np.int32)
     olens = durations.sum(1).astype(np.int32)
     Lmax = int(np.ceil(olens.max() / 64) * 64)
-    n_seg = TRAIN_B * Tmax
-    plan = build_plan(durations, olens, cfg.max_dur, n_seg, Lmax)
-    batch = Batch(
+    common = dict(
         tokens=rng.integers(1, IDIM, (TRAIN_B, Tmax)).astype(np.int32),
         ilens=np.full(TRAIN_B, Tmax, np.int32),
         mel=rng.normal(size=(TRAIN_B, Lmax, ODIM)).astype(np.float32),
         olens=olens, durations=durations,
         f0=rng.normal(size=(TRAIN_B, Tmax, 1)).astype(np.float32),
-        energy=rng.normal(size=(TRAIN_B, Tmax, 1)).astype(np.float32),
+        energy=rng.normal(size=(TRAIN_B, Tmax, 1)).astype(np.float32))
+    if duration_classes:
+        caps = duration_class_caps(list(durations), duration_classes,
+                                   TRAIN_B, cap_bucket=64)
+        plan = build_classed_plan(durations, olens, duration_classes, caps,
+                                  Lmax)
+        return Batch(
+            seg_utt=None, seg_tok=None, seg_start=None, frame_mask=None,
+            position=None, utt_gather=plan.utt_gather,
+            utt_mask=plan.utt_mask,
+            seg_classes=tuple(
+                SegClass(c.seg_utt, c.seg_tok, c.seg_start, c.frame_mask,
+                         c.position) for c in plan.classes),
+            **common), olens
+    plan = build_plan(durations, olens, MAX_DUR, TRAIN_B * Tmax, Lmax)
+    return Batch(
         seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
         seg_start=plan.seg_start, frame_mask=plan.frame_mask,
         position=plan.position, utt_gather=plan.utt_gather,
-        utt_mask=plan.utt_mask)
+        utt_mask=plan.utt_mask, **common), olens
+
+
+def train_step_run(duration_classes=DURATION_CLASSES, suffix=""):
+    """Teacher train-step throughput at B=16 bf16 (the reference's training
+    configuration, teacher_model_training.sh:14-30) + XLA cost-analysis
+    FLOPs -> model FLOPs utilization on the one v5e chip.  Measures the
+    duration-classed decoder (the fcl_train default) unless
+    duration_classes=() is passed for the single-class reference row."""
+    import jax
+    from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
+    from fcl_taco2_tpu.parallel.mesh import make_mesh, shard_batch
+    from fcl_taco2_tpu.train.optim import build_optimizer
+    from fcl_taco2_tpu.train.state import TrainState
+    from fcl_taco2_tpu.train.step import make_train_step
+
+    cfg = teacher_config(idim=IDIM, odim=ODIM,
+                         duration_classes=duration_classes)
+    model = Tacotron2SA(cfg)
+    mesh = make_mesh(1)
+
+    batch, olens = _train_batch(cfg.effective_duration_classes)
     batch = shard_batch(mesh, batch)
 
     params, mstate = jax.jit(model.init)(jax.random.PRNGKey(0))
@@ -294,11 +321,16 @@ def train_step_run():
         flops = -1.0
     mfu = (flops / dt) / V5E_PEAK_BF16 if flops > 0 else -1.0
     return {
-        "train_step_ms": round(dt * 1e3, 2),
-        "train_frames_per_sec": round(frames / dt, 1),
-        "train_step_flops": flops,
-        "train_mfu_v5e_bf16": round(mfu, 4) if mfu > 0 else -1.0,
+        f"train_step{suffix}_ms": round(dt * 1e3, 2),
+        f"train{suffix}_frames_per_sec": round(frames / dt, 1),
+        f"train_step{suffix}_flops": flops,
+        f"train{suffix}_mfu_v5e_bf16": round(mfu, 4) if mfu > 0 else -1.0,
     }
+
+
+def train_step_single_class_run():
+    """Single-class (legacy-shape) reference row for the classed default."""
+    return train_step_run(duration_classes=(), suffix="_single_class")
 
 
 def batched_synth_run():
@@ -456,11 +488,12 @@ def main():
 
     fps, frames, platform = jax_tpu_run()
     extra = {"protocol": dict(protocol, train_batch=TRAIN_B,
+                              duration_classes=list(DURATION_CLASSES),
                               frame_budget=FRAME_BUDGET,
                               timing="median of jitted loops, compile "
                                      "excluded, one v5e chip")}
-    for runner in (train_step_run, batched_synth_run, student_batch1_run,
-                   e2e_tts_run):
+    for runner in (train_step_run, train_step_single_class_run,
+                   batched_synth_run, student_batch1_run, e2e_tts_run):
         try:
             extra.update(runner())
         except Exception as exc:  # keep the primary metric robust

@@ -63,6 +63,12 @@ def get_parser():
                    help="speaker-embedding dim (None/0 = single speaker)")
     p.add_argument("--dropout-rate", type=float, default=0.5)
     p.add_argument("--zoneout-rate", type=float, default=0.1)
+    p.add_argument("--duration-classes", type=str, default="8,16,32",
+                   help="comma-separated ascending duration-class caps for "
+                        "the classed training decoder (max-dur appended "
+                        "implicitly); '' = single-class legacy shapes. "
+                        "Training-only knob; losses are exactly equal "
+                        "either way")
     p.add_argument("--zoneout-rng", type=str, default="rbg",
                    choices=("rbg", "threefry"),
                    help="zoneout mask generator: 'rbg' = TPU hardware PRNG "
@@ -153,6 +159,13 @@ def model_config_from_args(args, idim, odim=80):
         reduction_factor=args.reduction_factor,
         dropout_rate=args.dropout_rate, zoneout_rate=args.zoneout_rate,
         zoneout_rng=args.zoneout_rng,
+        # drop classes at/above max-dur (the top class is implicitly
+        # max-dur) so the default "8,16,32" stays valid for any --max-dur
+        duration_classes=tuple(
+            d for d in (int(x) for x in
+                        str(args.duration_classes or "").split(",")
+                        if str(x).strip())
+            if d < args.max_dur),
         use_masking=args.use_masking,
         use_weighted_masking=args.use_weighted_masking,
         spk_embed_dim=args.spk_embed_dim or 0,

@@ -15,10 +15,11 @@ from typing import List, Optional
 
 import numpy as np
 
-from fcl_taco2_tpu.data.manifest import (Utterance, load_features,
-                                         load_spemb)
-from fcl_taco2_tpu.models.taco2_sa import Batch
-from fcl_taco2_tpu.ops.regroup import build_plan
+from fcl_taco2_tpu.data.manifest import (Utterance, load_durations,
+                                         load_features, load_spemb)
+from fcl_taco2_tpu.models.taco2_sa import Batch, SegClass
+from fcl_taco2_tpu.ops.regroup import (build_classed_plan, build_plan,
+                                       duration_class_caps)
 
 
 def _round_up(x, mult):
@@ -33,7 +34,8 @@ class BatchConverter:
                  odim=80, cache=None, fixed_tmax: Optional[int] = None,
                  fixed_lmax: Optional[int] = None,
                  fixed_nseg: Optional[int] = None,
-                 transform=None, transform_train: bool = False):
+                 transform=None, transform_train: bool = False,
+                 duration_classes=(), class_caps=None):
         """With ``fixed_*`` set, every batch gets the SAME shape — one XLA
         compile for the whole run (compiles cost minutes on remote TPU
         attachments, so fixed shapes beat fine-grained bucketing unless
@@ -58,6 +60,16 @@ class BatchConverter:
         self.fixed_nseg = fixed_nseg
         self.transform = transform
         self.transform_train = transform_train
+        # duration-classed plans (cfg.duration_classes, already normalized
+        # to end at max_dur via cfg.effective_duration_classes): per-class
+        # caps are either fixed (fit_corpus — one compile) or derived per
+        # batch rounded to seg_bucket (bucketed compiles)
+        self.duration_classes = tuple(int(d) for d in duration_classes)
+        if (self.duration_classes
+                and self.duration_classes[-1] != int(max_dur)):
+            self.duration_classes += (int(max_dur),)
+        self.class_caps = (None if class_caps is None
+                           else tuple(int(c) for c in class_caps))
 
     def fit_corpus(self, utts):
         """Set fixed shapes from corpus metadata, valid for ANY batch of up
@@ -71,6 +83,12 @@ class BatchConverter:
                                     self.frame_bucket)
         self.fixed_nseg = _round_up(sum(tok_counts[:self.batch_size]),
                                     self.seg_bucket)
+        if self.duration_classes:
+            # per-class capacity bound over ANY batch (durations are a
+            # tiny per-utterance file — this scan is cheap)
+            self.class_caps = duration_class_caps(
+                (load_durations(u) for u in utts), self.duration_classes,
+                self.batch_size, cap_bucket=self.seg_bucket)
         return self
 
     def _build_plan(self, durations, olens, n_seg_padded, max_olen):
@@ -151,14 +169,32 @@ class BatchConverter:
             for i, v in enumerate(vecs):
                 spembs[i] = v
 
+        common = dict(tokens=tokens, ilens=ilens, mel=mel_arr, olens=olens,
+                      durations=durations, f0=f0_arr, energy=en_arr,
+                      spembs=spembs)
+        if self.duration_classes:
+            caps = self.class_caps
+            if caps is None:  # bucketed per-batch caps (no corpus fit)
+                caps = duration_class_caps(
+                    [durations[i, :ilens[i]] for i in range(n)],
+                    self.duration_classes, n, cap_bucket=self.seg_bucket)
+            plan = build_classed_plan(durations, olens,
+                                      self.duration_classes, caps, Lmax)
+            return Batch(
+                seg_utt=None, seg_tok=None, seg_start=None, frame_mask=None,
+                position=None, utt_gather=plan.utt_gather,
+                utt_mask=plan.utt_mask,
+                seg_classes=tuple(
+                    SegClass(cp.seg_utt, cp.seg_tok, cp.seg_start,
+                             cp.frame_mask, cp.position)
+                    for cp in plan.classes),
+                **common)
+
         n_seg = int((durations > 0).sum())
         n_seg_padded = self.fixed_nseg or _round_up(n_seg, self.seg_bucket)
         plan = self._build_plan(durations, olens, n_seg_padded, Lmax)
         return Batch(
-            tokens=tokens, ilens=ilens, mel=mel_arr, olens=olens,
-            durations=durations, f0=f0_arr, energy=en_arr,
             seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
             seg_start=plan.seg_start, frame_mask=plan.frame_mask,
             position=plan.position, utt_gather=plan.utt_gather,
-            utt_mask=plan.utt_mask, spembs=spembs,
-        )
+            utt_mask=plan.utt_mask, **common)

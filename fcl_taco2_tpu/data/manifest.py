@@ -211,6 +211,17 @@ def load_features(utt: Utterance):
     return mel, dur, f0, energy
 
 
+def load_durations(utt: Utterance):
+    """Read ONLY the utterance's duration vector (cheap: durations are a
+    tiny per-utterance file) — used by the converter's duration-class
+    capacity fit without pulling the mels."""
+    dur = _load_feat(utt.dur_path, utt.filetypes[1]).reshape(-1)
+    dur = dur.astype(np.int32)
+    if utt.eos_appended:
+        dur = np.append(dur, np.int32(0))
+    return dur
+
+
 def load_spemb(utt: Utterance):
     """Read the utterance's speaker-embedding vector (io_utils_fcl.py:
     330-336, 355-361), or None when the manifest has no spembs entry."""

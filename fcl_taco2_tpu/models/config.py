@@ -88,6 +88,15 @@ class ModelConfig:
     # (reference caps at 50, preprocess.py:203)
     max_dur: int = 50
 
+    # duration-classed training decoder (SURVEY hard part #1 dual
+    # bucketing): ascending per-class duration caps; a segment scans only
+    # its class's cap instead of max_dur (mean LJSpeech duration is ~8
+    # frames vs the 50 cap, so the single-class scan wastes ~84% of its
+    # steps on padding).  () = single-class (exact legacy shapes); the last
+    # entry is implicitly max_dur.  Losses are exactly equal either way
+    # (per-segment recurrences are independent; padding is never read).
+    duration_classes: tuple = ()
+
     # numerics: 'bfloat16' runs matmuls in bf16 on the MXU (losses, BN and
     # softmax-free reductions stay fp32); 'float32' for parity tests.
     compute_dtype: str = "bfloat16"
@@ -131,8 +140,33 @@ class ModelConfig:
         if self.zoneout_rng not in ("rbg", "threefry"):
             raise ValueError(f"unsupported zoneout_rng {self.zoneout_rng} "
                              "(choose 'rbg' or 'threefry')")
+        # normalize to a tuple so a model.json round trip (json lists)
+        # compares equal to the constructed config
+        dc = tuple(int(d) for d in self.duration_classes)
+        object.__setattr__(self, "duration_classes", dc)
+        if list(dc) != sorted(set(dc)):
+            raise ValueError(
+                f"duration_classes must be strictly ascending, got {dc}")
+        if dc and (dc[0] < 1 or dc[-1] > self.max_dur):
+            raise ValueError(
+                f"duration_classes must lie in [1, max_dur={self.max_dur}] "
+                f"(the top class is implicitly max_dur), got {dc}")
+        if any(d % self.reduction_factor
+               for d in self.effective_duration_classes):
+            raise ValueError(
+                f"every duration class must be divisible by "
+                f"reduction_factor ({self.reduction_factor}), got {dc}")
         if self.spk_embed_dim < 0:
             raise ValueError("spk_embed_dim must be >= 0")
+
+    @property
+    def effective_duration_classes(self):
+        """Normalized class caps: user tuple with max_dur appended as the
+        implicit top class; () stays () (single-class legacy path)."""
+        dc = tuple(int(d) for d in self.duration_classes)
+        if dc and dc[-1] != self.max_dur:
+            dc = dc + (self.max_dur,)
+        return dc
 
     @property
     def enc_odim(self):

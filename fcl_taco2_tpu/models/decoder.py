@@ -40,7 +40,7 @@ import jax.numpy as jnp
 from jax import lax, random
 
 from fcl_taco2_tpu.models import components as C
-from fcl_taco2_tpu.ops.regroup import scatter_frames
+from fcl_taco2_tpu.ops.regroup import scatter_frames, scatter_frames_classed
 from fcl_taco2_tpu.ops.rnn import lstm_cell, zoneout
 from fcl_taco2_tpu.utils import initializers as init
 
@@ -188,17 +188,112 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
         kd = dict(prenet, lstm0, lstm1, postnet=[5 tensors]) utterance-major
         (decoder_sa_kd.py:627-702) or None.
     """
-    P, D, odim = seg_targets.shape
-    r = cfg.reduction_factor
-    S = D // r  # decoder steps (== D when r == 1)
-    dtype = enc_seg.dtype
-    k_pre, k_zo, k_post = random.split(rng, 3)
-    if capture_kd and (cfg.dlayers != 2 or r != 1 or cfg.prenet_layers == 0
-                       or cfg.postnet_layers == 0):
+    if capture_kd:
+        _check_kd_topology(cfg)
+    k_core, k_post = random.split(rng)
+    seg_out, prenet_all, z0s, z1s = _teacher_forced_core(
+        params, cfg, enc_seg, seg_targets, position, k_core, train,
+        capture_kd)
+
+    before = scatter_frames(seg_out, utt_gather, utt_mask)  # (B, Lmax, odim)
+    after, new_state, post_capture = _apply_train_postnet(
+        params, state, cfg, before, k_post, train, utt_mask, capture_kd)
+
+    kd = None
+    if capture_kd:
+        # KD items are regrouped utterance-major like the outputs
+        # (decoder_sa_kd.py:634-655); postnet captures already are.
+        kd = {
+            "prenet": scatter_frames(prenet_all, utt_gather, utt_mask),
+            "lstm0": scatter_frames(jnp.swapaxes(z0s, 0, 1), utt_gather,
+                                    utt_mask),
+            "lstm1": scatter_frames(jnp.swapaxes(z1s, 0, 1), utt_gather,
+                                    utt_mask),
+            "postnet": post_capture,
+        }
+    return after, before, new_state, kd
+
+
+def decoder_teacher_forced_classed(params, state, cfg, class_inputs,
+                                   utt_gather, utt_mask, rng, train,
+                                   capture_kd=False):
+    """Duration-classed teacher-forced pass (SURVEY hard part #1 dual
+    bucketing): one scan PER duration class — class c's segments scan only
+    D_c steps instead of max_dur — then a single gather back to
+    utterance-major through the concatenated-flats ``utt_gather``
+    (ops/regroup.ClassedPlan).  Per-segment math is identical to the
+    single-class path (each segment's recurrence is independent and frames
+    past its duration are never read), so losses match exactly.
+
+    Args:
+        class_inputs: tuple of (enc_seg, seg_targets, position) per class,
+            shapes (P_c, idim) / (P_c, D_c, odim) / (P_c, D_c).
+    Returns:
+        same contract as decoder_teacher_forced.
+    """
+    if capture_kd:
+        _check_kd_topology(cfg)
+    k_core, k_post = random.split(rng)
+    outs = [
+        _teacher_forced_core(params, cfg, enc_c, tgt_c, pos_c,
+                             random.fold_in(k_core, c), train, capture_kd)
+        for c, (enc_c, tgt_c, pos_c) in enumerate(class_inputs)
+    ]
+    before = scatter_frames_classed([o[0] for o in outs], utt_gather,
+                                    utt_mask)
+    after, new_state, post_capture = _apply_train_postnet(
+        params, state, cfg, before, k_post, train, utt_mask, capture_kd)
+
+    kd = None
+    if capture_kd:
+        kd = {
+            "prenet": scatter_frames_classed([o[1] for o in outs],
+                                             utt_gather, utt_mask),
+            "lstm0": scatter_frames_classed(
+                [jnp.swapaxes(o[2], 0, 1) for o in outs], utt_gather,
+                utt_mask),
+            "lstm1": scatter_frames_classed(
+                [jnp.swapaxes(o[3], 0, 1) for o in outs], utt_gather,
+                utt_mask),
+            "postnet": post_capture,
+        }
+    return after, before, new_state, kd
+
+
+def _check_kd_topology(cfg):
+    if (cfg.dlayers != 2 or cfg.reduction_factor != 1
+            or cfg.prenet_layers == 0 or cfg.postnet_layers == 0):
         raise ValueError(
             "capture_kd requires the reference KD topology: dlayers=2, "
             "reduction_factor=1, prenet and postnet present "
             "(decoder_sa_kd.py:627-702)")
+
+
+def _apply_train_postnet(params, state, cfg, before, k_post, train,
+                         utt_mask, capture_kd):
+    """Postnet on the utterance-major canvas (training path)."""
+    if cfg.postnet_layers > 0:
+        post_capture = [] if capture_kd else None
+        correction, post_state = C.postnet_apply(
+            params["postnet"], state["postnet"], before, k_post,
+            cfg.dropout_rate, train, capture=post_capture,
+            seq_mask=utt_mask if train else None)
+        return before + correction, {"postnet": post_state}, post_capture
+    # decoder_sa.py:393, 530-533: postnet is optional
+    return before, {}, []
+
+
+def _teacher_forced_core(params, cfg, enc_seg, seg_targets, position, rng,
+                         train, capture_kd=False):
+    """The teacher-forced scan over one phoneme batch, BEFORE regrouping:
+    returns (seg_out (P, D, odim), prenet_all (P, S, units), z0s, z1s)
+    with z0s/z1s step-major (S, P, H) when capture_kd else None.  Shared
+    by the single-class and duration-classed paths."""
+    P, D, odim = seg_targets.shape
+    r = cfg.reduction_factor
+    S = D // r  # decoder steps (== D when r == 1)
+    dtype = enc_seg.dtype
+    k_pre, k_zo = random.split(rng)
 
     # teacher-forcing input at step t is target frame t*r-1 (zeros at t=0);
     # r>1 thins the targets to every r-th frame (decoder_sa.py:488-489)
@@ -259,37 +354,11 @@ def decoder_teacher_forced(params, state, cfg, enc_seg, seg_targets, position,
 
     xs = (jnp.swapaxes(prenet_all, 0, 1), pos_steps.T, zo_keys)
     _, outs = lax.scan(step, _zero_carry(P, cfg, dtype), xs)
+    z0s = z1s = None
     if capture_kd:
         outs, z0s, z1s = outs
     seg_out = _unfold_r(outs, P, S, odim, r)  # (P, D, odim)
-
-    before = scatter_frames(seg_out, utt_gather, utt_mask)  # (B, Lmax, odim)
-    if cfg.postnet_layers > 0:
-        post_capture = [] if capture_kd else None
-        correction, post_state = C.postnet_apply(
-            params["postnet"], state["postnet"], before, k_post,
-            cfg.dropout_rate, train, capture=post_capture,
-            seq_mask=utt_mask if train else None)
-        after = before + correction
-        new_state = {"postnet": post_state}
-    else:  # decoder_sa.py:393, 530-533: postnet is optional
-        post_capture = []
-        after = before
-        new_state = {}
-
-    kd = None
-    if capture_kd:
-        # KD items are regrouped utterance-major like the outputs
-        # (decoder_sa_kd.py:634-655); postnet captures already are.
-        kd = {
-            "prenet": scatter_frames(prenet_all, utt_gather, utt_mask),
-            "lstm0": scatter_frames(jnp.swapaxes(z0s, 0, 1), utt_gather,
-                                    utt_mask),
-            "lstm1": scatter_frames(jnp.swapaxes(z1s, 0, 1), utt_gather,
-                                    utt_mask),
-            "postnet": post_capture,
-        }
-    return after, before, new_state, kd
+    return seg_out, prenet_all, z0s, z1s
 
 
 def decoder_inference(params, state, cfg, enc_seg, seg_dur, position,

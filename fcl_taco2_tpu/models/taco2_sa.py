@@ -21,7 +21,8 @@ from fcl_taco2_tpu.models import components as C
 from fcl_taco2_tpu.models.config import ModelConfig
 from fcl_taco2_tpu.models.decoder import (apply_postnet_inference,
                                           decoder_inference, decoder_init,
-                                          decoder_teacher_forced)
+                                          decoder_teacher_forced,
+                                          decoder_teacher_forced_classed)
 from fcl_taco2_tpu.models.encoder import encoder_apply, encoder_init
 from fcl_taco2_tpu.ops.masking import (lengths_to_non_pad_mask,
                                        lengths_to_pad_mask, masked_l1,
@@ -52,6 +53,18 @@ def _cast_floats(tree, dtype):
     return jax.tree_util.tree_map(cast, tree)
 
 
+class SegClass(NamedTuple):
+    """One duration class's segment plan (ops/regroup.ClassPlan, minus the
+    static dur_cap — the shapes carry it).  ``seg_classes`` holds a tuple
+    of these when cfg.duration_classes is set."""
+
+    seg_utt: Any       # (P_c,)
+    seg_tok: Any       # (P_c,)
+    seg_start: Any     # (P_c,)
+    frame_mask: Any    # (P_c, D_c) bool
+    position: Any      # (P_c, D_c) float32
+
+
 class Batch(NamedTuple):
     """One training batch, all static-bucketed shapes (converter output)."""
 
@@ -62,7 +75,10 @@ class Batch(NamedTuple):
     durations: Any     # (B, Tmax) int32 frames per token
     f0: Any            # (B, Tmax, 1) phoneme-avg normalized log-F0
     energy: Any        # (B, Tmax, 1) phoneme-avg normalized energy
-    # regroup plan (ops/regroup.build_plan)
+    # regroup plan (ops/regroup.build_plan); with duration classes the
+    # flat seg_* / frame_mask / position fields are None and seg_classes
+    # carries the per-class plans (utt_gather then indexes the
+    # concatenated class flats, ops/regroup.ClassedPlan)
     seg_utt: Any       # (P,)
     seg_tok: Any       # (P,)
     seg_start: Any     # (P,)
@@ -71,6 +87,7 @@ class Batch(NamedTuple):
     utt_gather: Any    # (B, Lmax) int32
     utt_mask: Any      # (B, Lmax) bool
     spembs: Any = None  # optional (B, spk_embed_dim) speaker embeddings
+    seg_classes: Any = None  # optional tuple of SegClass
 
 
 class Tacotron2SA:
@@ -169,9 +186,13 @@ class Tacotron2SA:
             batch = batch._replace(
                 mel=batch.mel.astype(dtype), f0=batch.f0.astype(dtype),
                 energy=batch.energy.astype(dtype),
-                position=batch.position.astype(dtype),
+                position=(None if batch.position is None
+                          else batch.position.astype(dtype)),
                 spembs=(None if batch.spembs is None
-                        else batch.spembs.astype(dtype)))
+                        else batch.spembs.astype(dtype)),
+                seg_classes=(None if batch.seg_classes is None else tuple(
+                    sc._replace(position=sc.position.astype(dtype))
+                    for sc in batch.seg_classes)))
         rng, k_dec = random.split(rng)
         (hs, enc_state, enc_kd, pad_mask, d_outs, p_outs, e_outs, p_embs,
          e_embs) = self._encode_and_predict(params, state, batch, rng, train,
@@ -181,14 +202,30 @@ class Tacotron2SA:
             hs_cond = hs + p_embs + e_embs  # decoder_sa.py:461-462
         else:
             hs_cond = hs
-        enc_seg = gather_token_vectors(hs_cond, batch.seg_utt, batch.seg_tok)
-        seg_targets = gather_segments(batch.mel, batch.seg_utt,
-                                      batch.seg_start, batch.frame_mask)
-
-        after, before, dec_state, dec_kd = decoder_teacher_forced(
-            params["decoder"], state["decoder"], cfg, enc_seg, seg_targets,
-            batch.position, batch.frame_mask, batch.utt_gather,
-            batch.utt_mask, k_dec, train, capture_kd=capture_kd)
+        if batch.seg_classes is not None:
+            # duration-classed decoder: one scan per class, D_c steps each
+            # (cfg.duration_classes; ops/regroup.ClassedPlan)
+            class_inputs = tuple(
+                (gather_token_vectors(hs_cond, sc.seg_utt, sc.seg_tok),
+                 gather_segments(batch.mel, sc.seg_utt, sc.seg_start,
+                                 sc.frame_mask),
+                 sc.position)
+                for sc in batch.seg_classes)
+            after, before, dec_state, dec_kd = \
+                decoder_teacher_forced_classed(
+                    params["decoder"], state["decoder"], cfg, class_inputs,
+                    batch.utt_gather, batch.utt_mask, k_dec, train,
+                    capture_kd=capture_kd)
+        else:
+            enc_seg = gather_token_vectors(hs_cond, batch.seg_utt,
+                                           batch.seg_tok)
+            seg_targets = gather_segments(batch.mel, batch.seg_utt,
+                                          batch.seg_start, batch.frame_mask)
+            after, before, dec_state, dec_kd = decoder_teacher_forced(
+                params["decoder"], state["decoder"], cfg, enc_seg,
+                seg_targets, batch.position, batch.frame_mask,
+                batch.utt_gather, batch.utt_mask, k_dec, train,
+                capture_kd=capture_kd)
 
         # losses always in fp32 (mixed-precision safe accumulation)
         f32 = lambda x: x.astype(jnp.float32)  # noqa: E731

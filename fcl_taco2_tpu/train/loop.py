@@ -101,7 +101,8 @@ class Trainer:
         self.converter = BatchConverter(
             max_dur=model.cfg.max_dur, batch_size=tcfg.batch_size,
             seg_bucket=max(64, n_data * 8), odim=model.cfg.odim,
-            cache={} if cache_features else None)
+            cache={} if cache_features else None,
+            duration_classes=model.cfg.effective_duration_classes)
         if tcfg.preprocess_conf:
             from fcl_taco2_tpu.data.transform import Transformation
             self.converter.transform = Transformation(

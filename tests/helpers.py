@@ -52,3 +52,31 @@ def synthetic_batch(cfg, B=3, Tmax=5, seed=0, n_seg=24, Lmax=None):
         utt_gather=jnp.asarray(plan.utt_gather),
         utt_mask=jnp.asarray(plan.utt_mask),
     )
+
+
+def with_duration_classes(batch, class_durs, caps=None, cap_bucket=8):
+    """Re-plan an existing synthetic Batch with duration classes: same
+    tokens/mel/targets, classed segment plan — for exact-equivalence
+    tests against the single-class path."""
+    from fcl_taco2_tpu.models.taco2_sa import SegClass
+    from fcl_taco2_tpu.ops.regroup import (build_classed_plan,
+                                           duration_class_caps)
+
+    durations = np.asarray(batch.durations)
+    olens = np.asarray(batch.olens)
+    B = durations.shape[0]
+    if caps is None:
+        caps = duration_class_caps(list(durations), class_durs, B,
+                                   cap_bucket=cap_bucket)
+    plan = build_classed_plan(durations, olens, class_durs, caps,
+                              batch.mel.shape[1])
+    return batch._replace(
+        seg_utt=None, seg_tok=None, seg_start=None, frame_mask=None,
+        position=None,
+        utt_gather=jnp.asarray(plan.utt_gather),
+        utt_mask=jnp.asarray(plan.utt_mask),
+        seg_classes=tuple(
+            SegClass(jnp.asarray(c.seg_utt), jnp.asarray(c.seg_tok),
+                     jnp.asarray(c.seg_start), jnp.asarray(c.frame_mask),
+                     jnp.asarray(c.position))
+            for c in plan.classes))

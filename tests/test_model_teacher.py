@@ -81,7 +81,9 @@ def test_overfit_two_utterances():
 
     key = jax.random.PRNGKey(42)
     losses = []
-    for i in range(30):
+    # 50 steps: the descent rate is RNG-stream dependent (zoneout/dropout
+    # draws); 30 was marginal under some streams
+    for i in range(50):
         key, sub = jax.random.split(key)
         params, state, opt_state, loss = step(params, state, opt_state, sub)
         losses.append(float(loss))
