@@ -31,7 +31,7 @@ N_PHONES = 96
 MEAN_DUR = 8
 
 
-def run_one(B, remat, reps):
+def run_one(B, remat, reps, classes=()):
     import jax
     import jax.numpy as jnp
 
@@ -45,8 +45,10 @@ def run_one(B, remat, reps):
     from fcl_taco2_tpu.utils.device import warmup_transfers
 
     warmup_transfers()
-    scfg = student_config(idim=70, remat_decoder=remat)
-    tcfg = teacher_config(idim=70, remat_decoder=remat)
+    scfg = student_config(idim=70, remat_decoder=remat,
+                          duration_classes=classes)
+    tcfg = teacher_config(idim=70, remat_decoder=remat,
+                          duration_classes=classes)
     kd = KDStudent(scfg, tcfg)
 
     rng = np.random.default_rng(0)
@@ -56,6 +58,25 @@ def run_one(B, remat, reps):
     olens = durations.sum(1).astype(np.int32)
     Lmax = int(np.ceil(olens.max() / 64) * 64)
     plan = build_plan(durations, olens, scfg.max_dur, B * Tmax, Lmax)
+    seg_fields = dict(
+        seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
+        seg_start=plan.seg_start, frame_mask=plan.frame_mask,
+        position=plan.position, utt_gather=plan.utt_gather,
+        utt_mask=plan.utt_mask)
+    if classes:
+        from fcl_taco2_tpu.models.taco2_sa import SegClass
+        from fcl_taco2_tpu.ops.regroup import (build_classed_plan,
+                                               duration_class_caps)
+        eff = scfg.effective_duration_classes
+        caps = duration_class_caps(list(durations), eff, B, cap_bucket=64)
+        cplan = build_classed_plan(durations, olens, eff, caps, Lmax)
+        seg_fields = dict(
+            seg_utt=None, seg_tok=None, seg_start=None, frame_mask=None,
+            position=None, utt_gather=cplan.utt_gather,
+            utt_mask=cplan.utt_mask,
+            seg_classes=tuple(
+                SegClass(c.seg_utt, c.seg_tok, c.seg_start, c.frame_mask,
+                         c.position) for c in cplan.classes))
     batch = Batch(
         tokens=rng.integers(1, 70, (B, Tmax)).astype(np.int32),
         ilens=np.full(B, Tmax, np.int32),
@@ -63,10 +84,7 @@ def run_one(B, remat, reps):
         olens=olens, durations=durations,
         f0=rng.normal(size=(B, Tmax, 1)).astype(np.float32),
         energy=rng.normal(size=(B, Tmax, 1)).astype(np.float32),
-        seg_utt=plan.seg_utt, seg_tok=plan.seg_tok,
-        seg_start=plan.seg_start, frame_mask=plan.frame_mask,
-        position=plan.position, utt_gather=plan.utt_gather,
-        utt_mask=plan.utt_mask)
+        **seg_fields)
     batch = jax.tree_util.tree_map(jnp.asarray, batch)
 
     params, mstate = jax.jit(kd.init)(jax.random.PRNGKey(0))
@@ -113,7 +131,9 @@ def run_one(B, remat, reps):
         np.asarray(compiled(ts, jax.random.fold_in(key, 1000 + r))[1])
         per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / n)
     return {
-        "B": B, "remat_decoder": remat, "P": len(plan.seg_utt),
+        "B": B, "remat_decoder": remat,
+        "duration_classes": list(classes),
+        "P": len(plan.seg_utt),
         "Lmax": Lmax, "step_ms": round(float(np.median(per)) * 1e3, 2),
         "frames_per_sec": round(int(olens.sum()) / float(np.median(per)), 1),
         "peak_hbm_gb": round(hbm / 2 ** 30, 3) if hbm is not None else None,
@@ -125,7 +145,8 @@ def run_one(B, remat, reps):
 def main(argv=None):
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--reps", type=int, default=10)
-    ap.add_argument("--one", nargs=2, metavar=("B", "REMAT"), default=None)
+    ap.add_argument("--one", nargs=3, metavar=("B", "REMAT", "CLASSES"),
+                    default=None)
     ap.add_argument("--max-b", type=int, default=128)
     ap.add_argument("--out", type=str, default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
@@ -134,15 +155,19 @@ def main(argv=None):
 
     if args.one:
         B, remat = int(args.one[0]), args.one[1] == "True"
-        print("ROW " + json.dumps(run_one(B, remat, args.reps)), flush=True)
+        classes = tuple(int(x) for x in args.one[2].split(",")
+                        if x.strip()) if args.one[2] != "-" else ()
+        print("ROW " + json.dumps(run_one(B, remat, args.reps, classes)),
+              flush=True)
         return
 
     rows = []
-    for remat in (False, True):
+    for classes in ("-", "8,16,32"):
+      for remat in (False, True):
         B = 16
         while B <= args.max_b:
             cmd = [sys.executable, os.path.abspath(__file__), "--one",
-                   str(B), str(remat), "--reps", str(args.reps)]
+                   str(B), str(remat), classes, "--reps", str(args.reps)]
             r = subprocess.run(cmd, capture_output=True, text=True,
                                timeout=1800)
             row_lines = [ln for ln in r.stdout.splitlines()
@@ -150,8 +175,10 @@ def main(argv=None):
             if r.returncode != 0 or not row_lines:
                 err = (r.stdout + r.stderr)[-400:]
                 rows.append({"B": B, "remat_decoder": remat,
+                             "duration_classes": classes,
                              "status": "OOM/FAILED", "detail": err})
-                print(f"B={B} remat={remat}: FAILED", flush=True)
+                print(f"B={B} remat={remat} classes={classes}: FAILED",
+                      flush=True)
                 break  # larger B will not fit either
             row = json.loads(row_lines[-1][4:])
             rows.append(row)
