@@ -158,7 +158,7 @@ def torch_cpu_baseline():
     return frames / dt, frames
 
 
-def jax_tpu_run():
+def jax_tpu_run(ragged_decode=True):
     import jax
     import jax.numpy as jnp
     from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
@@ -179,7 +179,8 @@ def jax_tpu_run():
     def synth(params, state, tokens, ilens, durations, key):
         return model.synthesize(params, state, tokens, ilens, key,
                                 frame_budget=FRAME_BUDGET,
-                                durations=durations)
+                                durations=durations,
+                                ragged_decode=ragged_decode)
 
     # N_TIMED back-to-back decodes inside ONE jit: measures on-device
     # batch-1 decode throughput without the test harness's per-call
@@ -190,7 +191,8 @@ def jax_tpu_run():
             out = model.synthesize(params, state, tokens, ilens,
                                    jax.random.fold_in(key, i),
                                    frame_budget=FRAME_BUDGET,
-                                   durations=durations)
+                                   durations=durations,
+                                   ragged_decode=ragged_decode)
             return out["mel"], out["olens"]
 
         return jax.lax.fori_loop(0, N_TIMED, body,
@@ -492,7 +494,14 @@ def main():
                               frame_budget=FRAME_BUDGET,
                               timing="median of jitted loops, compile "
                                      "excluded, one v5e chip")}
-    for runner in (train_step_run, train_step_single_class_run,
+    def capped_batch1_run():
+        # legacy max_dur-capped decode (ragged_decode=False): the delta
+        # vs the headline is the duration-bounded ragged decode's win
+        fps_c, _, _ = jax_tpu_run(ragged_decode=False)
+        return {"batch1_synth_capped_frames_per_sec": round(fps_c, 1)}
+
+    for runner in (capped_batch1_run, train_step_run,
+                   train_step_single_class_run,
                    batched_synth_run, student_batch1_run, e2e_tts_run):
         try:
             extra.update(runner())

@@ -362,13 +362,19 @@ def _teacher_forced_core(params, cfg, enc_seg, seg_targets, position, rng,
 
 
 def decoder_inference(params, state, cfg, enc_seg, seg_dur, position,
-                      frame_mask, rng):
+                      frame_mask, rng, step_bound=None):
     """Autoregressive synthesis over the phoneme batch (eval mode).
 
     Reference decoder_sa.py:544-639: AR loop feeding back own outputs;
     prenet dropout stays ACTIVE (stochastic inference, decoder_sa.py:109-112).
     With r>1 each step emits r frames and the LAST sub-frame feeds back
     (decoder_sa.py:612-617).
+
+    ``step_bound``: optional TRACED scalar — the batch's max duration in
+    frames.  The AR loop then runs ceil(step_bound / r) steps instead of
+    the static max_dur cap (a data-dependent trip count; the reference
+    always pads every phoneme to the cap, tts.py:243-263).  Frames past
+    the bound come back exactly zero.
 
     Returns seg_out (P, D, odim) BEFORE postnet regrouping; the caller
     regroups (device-side cumsum scatter) and applies the postnet, because
@@ -409,7 +415,23 @@ def decoder_inference(params, state, cfg, enc_seg, seg_dur, position,
 
     carry0 = (_zero_carry(P, cfg, dtype), jnp.zeros((P, odim), dtype))
     pos_steps = position[:, :S]
-    _, outs = lax.scan(step, carry0, (pos_steps.T, pre_keys))
+    if step_bound is None:
+        _, outs = lax.scan(step, carry0, (pos_steps.T, pre_keys))
+    else:
+        # dynamic trip count: identical per-step math, but the loop stops
+        # at the batch's true max duration; untouched steps stay zero
+        s_bound = jnp.minimum(
+            (jnp.asarray(step_bound, jnp.int32) + r - 1) // r, S)
+        pos_t_all = pos_steps.T  # (S, P)
+        width = params["feat_out"]["w"].shape[1]
+        buf0 = jnp.zeros((S, P, width), dtype)
+
+        def body(s, carry_buf):
+            carry, buf = carry_buf
+            carry, out_t = step(carry, (pos_t_all[s], pre_keys[s]))
+            return carry, lax.dynamic_update_index_in_dim(buf, out_t, s, 0)
+
+        _, outs = lax.fori_loop(0, s_bound, body, (carry0, buf0))
     seg_out = _unfold_r(outs, P, S, odim, r)  # (P, D, odim)
     return seg_out * frame_mask[..., None].astype(dtype)
 

@@ -345,7 +345,8 @@ class Tacotron2SA:
     def synthesize(self, params, state, tokens, ilens, rng,
                    frame_budget: int,
                    durations=None, f0=None, energy=None, spembs=None,
-                   d_factor: float = 1.0, decoder_backend: str = "auto"):
+                   d_factor: float = 1.0, decoder_backend: str = "auto",
+                   ragged_decode: bool = True):
         """Batched device-only synthesis.
 
         Args:
@@ -356,6 +357,18 @@ class Tacotron2SA:
                 the reference's control knobs (e2e_tts_tacotron2_sa.py:642-658).
             d_factor: multiplies predicted durations (speed control; an
                 extension over the reference's all-or-nothing dur override).
+            ragged_decode: sort segments by duration (descending, on
+                device) and bound every decode backend by ACTUAL durations
+                instead of the static max_dur cap: per-tile step bounds
+                for the Pallas kernels, a dynamic trip count for the XLA
+                scan.  Mean durations are ~8 frames vs the 50-frame cap
+                (and pad slots are 0), so most AR steps in the capped
+                layout are wasted; sorting concentrates the long tail in
+                the first tile and all-pad tiles cost zero steps.  Exact:
+                segments are independent and frames past each duration are
+                zero either way (only the stochastic prenet-dropout draw
+                moves with the slot order).  The reference pads every
+                phoneme to the cap (/root/reference/tts.py:243-263).
 
         Returns dict(mel=(B, frame_budget, odim), olens=(B,), d_outs, ...).
 
@@ -385,6 +398,24 @@ class Tacotron2SA:
         csum = jnp.cumsum(flat_dur.reshape(B, Tmax), axis=1)
         seg_start = (csum - d_outs).reshape(B * Tmax)[:P]
         olens = jnp.minimum(csum[:, -1], frame_budget)
+        tile_bounds = step_bound = None
+        if ragged_decode:
+            # duration-sorted slot order: every downstream use of a
+            # segment (enc gather, frame scatter) is index-driven, so
+            # permuting the index vectors relabels slots for free
+            order = jnp.argsort(-flat_dur)
+            flat_dur = jnp.take(flat_dur, order)
+            seg_utt = jnp.take(seg_utt, order)
+            seg_tok = jnp.take(seg_tok, order)
+            seg_start = jnp.take(seg_start, order)
+            from fcl_taco2_tpu.ops.decoder_pallas import TILE
+            n_tiles = -(-P // TILE)
+            padded = jnp.zeros(n_tiles * TILE, jnp.int32).at[:P].set(
+                flat_dur)
+            # per-tile max is bound-correct even unsorted; sorting is
+            # what makes the bounds SMALL
+            tile_bounds = padded.reshape(n_tiles, TILE).max(axis=1)
+            step_bound = flat_dur.max()
         d_range = jnp.arange(D, dtype=jnp.int32)[None, :]
         frame_mask = d_range < flat_dur[:, None]
         position = jnp.where(
@@ -396,7 +427,9 @@ class Tacotron2SA:
         enc_seg = gather_token_vectors(hs, seg_utt, seg_tok)
         seg_out = self.decode_segments(params, state, enc_seg, flat_dur,
                                        position, frame_mask, k_dec,
-                                       decoder_backend=decoder_backend)
+                                       decoder_backend=decoder_backend,
+                                       tile_bounds=tile_bounds,
+                                       step_bound=step_bound)
 
         # scatter phoneme frames into per-utterance timelines; frames past
         # the budget or past each phoneme's duration go to a drop slot
@@ -418,13 +451,19 @@ class Tacotron2SA:
                 "d_outs": d_outs, "p_outs": p_outs, "e_outs": e_outs}
 
     def decode_segments(self, params, state, enc_seg, flat_dur, position,
-                        frame_mask, k_dec, decoder_backend: str = "auto"):
+                        frame_mask, k_dec, decoder_backend: str = "auto",
+                        tile_bounds=None, step_bound=None):
         """AR-decode a batch of phoneme segments -> (P, max_dur, odim).
 
         The backend dispatch half of ``synthesize`` — shared by
         whole-utterance synthesis and ``infer.stream.StreamTTS`` (which
         decodes phoneme CHUNKS incrementally).  ``params`` must already
         be cast to the compute dtype.
+
+        ``tile_bounds`` ((ceil(P/TILE),) int32) / ``step_bound`` (scalar
+        int32) optionally cap the AR trip counts by actual durations
+        (see ``synthesize`` ragged_decode): the Pallas kernels take the
+        per-tile bounds, the XLA scan the global bound.
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -490,7 +529,7 @@ class Tacotron2SA:
             seg_out = fused_ar_decode(
                 params["decoder"], enc_seg, position, seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
-                weights_dtype=kernel_wdt)
+                weights_dtype=kernel_wdt, bounds=tile_bounds)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
         elif use_hbm:
@@ -502,11 +541,12 @@ class Tacotron2SA:
             seg_out = fused_ar_decode_hbm(
                 params["decoder"], enc_seg, position, seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
-                weights_dtype=jnp.bfloat16)
+                weights_dtype=jnp.bfloat16, bounds=tile_bounds)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
         else:
             seg_out = decoder_inference(params["decoder"], state["decoder"],
                                         cfg, enc_seg, flat_dur, position,
-                                        frame_mask, k_dec)
+                                        frame_mask, k_dec,
+                                        step_bound=step_bound)
         return seg_out

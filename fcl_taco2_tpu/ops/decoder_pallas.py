@@ -39,10 +39,11 @@ def _dropout_bits(shape, rate):
     return (bits < threshold).astype(jnp.float32) / (1.0 - rate)
 
 
-def _kernel(seed_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref, pre_w2_ref,
-            pre_b2_ref, wx0_pre_ref, wx0_pos_ref, bx0_ref, wh0_ref, bh0_ref,
-            wx1_ref, bx1_ref, wh1_ref, bh1_ref, wf_z_ref, wx0_enc_ref,
-            wf_enc_ref, out_ref, *, D, odim, dunits, zoneout, dropout):
+def _kernel(seed_ref, bounds_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref,
+            pre_w2_ref, pre_b2_ref, wx0_pre_ref, wx0_pos_ref, bx0_ref,
+            wh0_ref, bh0_ref, wx1_ref, bx1_ref, wh1_ref, bh1_ref, wf_z_ref,
+            wx0_enc_ref, wf_enc_ref, out_ref, *, D, odim, dunits, zoneout,
+            dropout, ragged):
     wdt = wh0_ref.dtype  # fp32 (exact parity) or bf16 (halved residency)
 
     def mm(a, w_ref):
@@ -95,7 +96,18 @@ def _kernel(seed_ref, enc_ref, pos_ref, pre_w1_ref, pre_b1_ref, pre_w2_ref,
 
     zeros = jnp.zeros((TILE, dunits), jnp.float32)
     prev0 = jnp.zeros((TILE, odim), jnp.float32)
-    jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
+    if ragged:
+        # ragged mode: this tile's AR loop runs only to the tile's max
+        # duration (caller sorts segments by duration so short tiles stop
+        # early); frames past the bound are never written, so zero the
+        # output block first — the caller's frame_mask multiply must see
+        # zeros, not stale VMEM
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        bound = jnp.minimum(bounds_ref[pl.program_id(0)], D)
+        jax.lax.fori_loop(0, bound, step,
+                          (prev0, zeros, zeros, zeros, zeros))
+    else:
+        jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
 
 
 def vmem_bytes_estimate(cfg, D=None, weights_dtype=jnp.float32):
@@ -131,10 +143,11 @@ def _hbm_n_slots(n_chunks):
     return 2 if n_chunks % 2 == 0 else 1
 
 
-def _kernel_hbm(seed_ref, enc_gates_ref, enc_out_ref, pos_ref, pre_w1_ref,
-                pre_b1_ref, pre_w2_ref, pre_b2_ref, wx0_pre_ref, wx0_pos_ref,
-                bh0_ref, bx1_ref, bh1_ref, wf_z_ref, wbig_ref, out_ref,
-                wchunk, dma_sem, *, D, odim, dunits, CH, zoneout, dropout):
+def _kernel_hbm(seed_ref, bounds_ref, enc_gates_ref, enc_out_ref, pos_ref,
+                pre_w1_ref, pre_b1_ref, pre_w2_ref, pre_b2_ref, wx0_pre_ref,
+                wx0_pos_ref, bh0_ref, bx1_ref, bh1_ref, wf_z_ref, wbig_ref,
+                out_ref, wchunk, dma_sem, *, D, odim, dunits, CH, zoneout,
+                dropout, ragged):
     """Teacher-size AR decoder loop: big recurrent matrices streamed from
     HBM (see fused_ar_decode_hbm).
 
@@ -227,7 +240,19 @@ def _kernel_hbm(seed_ref, enc_gates_ref, enc_out_ref, pos_ref, pre_w1_ref,
         dma(c, c).start()
     zeros = jnp.zeros((TILE, dunits), jnp.float32)
     prev0 = jnp.zeros((TILE, odim), jnp.float32)
-    jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
+    if ragged:
+        # dynamic trip count: weight streaming is the kernel's bound, so
+        # stopping at the tile's true max duration cuts the streamed bytes
+        # proportionally.  The consume/rearm walk is per-step cyclic with
+        # n_slots | n_chunks, so after ANY whole number of steps the
+        # in-flight set is exactly chunks 0..n_slots-1 in slots
+        # 0..n_slots-1 — the drain below stays correct for every bound.
+        out_ref[...] = jnp.zeros(out_ref.shape, out_ref.dtype)
+        bound = jnp.minimum(bounds_ref[pl.program_id(0)], D)
+        jax.lax.fori_loop(0, bound, step,
+                          (prev0, zeros, zeros, zeros, zeros))
+    else:
+        jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
     for c in range(n_slots):  # drain the in-flight rearms before exit
         dma(c, c).wait()
 
@@ -245,7 +270,7 @@ def hbm_stream_compatible(cfg):
                                     "chunk_rows"))
 def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
                         dropout=0.5, weights_dtype=jnp.bfloat16,
-                        chunk_rows=256):
+                        chunk_rows=256, bounds=None):
     """AR decoder loop for models whose weights do NOT fit VMEM (the
     teacher: ~31 MB bf16 vs ~16 MB VMEM): the three big recurrent
     matrices (wh0, wx1, wh1 — (H, 4H) each) stay in HBM and are streamed
@@ -264,6 +289,12 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     Only worthwhile while P is a single tile (each grid tile re-streams
     the weights; the XLA scan reads them once per step for ALL P) — the
     caller gates on P (see Tacotron2SA.synthesize auto policy).
+
+    ``bounds``: optional (ceil(P/TILE),) int32 per-tile step bounds (the
+    tile's max segment duration).  Streaming stops at the bound, so the
+    DMA cost scales with the ACTUAL longest duration instead of the
+    static max_dur cap — the reference always pads every phoneme to the
+    cap (/root/reference/tts.py:243-263).
 
     Replaces the flagship batch-1 teacher decode hot loop,
     /root/reference/nets/modules/decoder_sa.py:591-617.
@@ -313,6 +344,11 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     ]
 
     grid = (Pp // TILE,)
+    ragged = bounds is not None
+    if ragged:
+        bounds = jnp.asarray(bounds, jnp.int32).reshape(grid[0])
+    else:
+        bounds = jnp.zeros((1,), jnp.int32)  # unused placeholder
     tile_specs = [
         pl.BlockSpec((TILE, 4 * H), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -328,11 +364,12 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     ]
     out = pl.pallas_call(
         functools.partial(_kernel_hbm, D=D, odim=odim, dunits=H, CH=CH,
-                          zoneout=float(zoneout), dropout=float(dropout)),
+                          zoneout=float(zoneout), dropout=float(dropout),
+                          ragged=ragged),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tile_specs
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + tile_specs
         + weight_specs
-        + [pl.BlockSpec(memory_space=pltpu.ANY)],  # wbig stays in HBM
+        + [pl.BlockSpec(memory_space=pl.ANY)],  # wbig stays in HBM
         out_specs=pl.BlockSpec((TILE, D, odim), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pp, D, odim), jnp.float32),
@@ -341,14 +378,14 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
                        weights_dtype),
             pltpu.SemaphoreType.DMA((_hbm_n_slots(3 * H // CH),)),
         ],
-    )(jnp.asarray(seed, jnp.int32).reshape(1), *args, wbig)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), bounds, *args, wbig)
     return out[:P]
 
 
 @functools.partial(jax.jit,
                    static_argnames=("zoneout", "dropout", "weights_dtype"))
 def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
-                    dropout=0.5, weights_dtype=jnp.float32):
+                    dropout=0.5, weights_dtype=jnp.float32, bounds=None):
     """Run the whole AR loop in one Pallas kernel.
 
     Args:
@@ -360,6 +397,12 @@ def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
             LSTM state stay fp32; MXU accumulates fp32).  bfloat16 halves
             VMEM residency — larger configs fit — at ~1e-2 relative
             output error.
+        bounds: optional (ceil(P/TILE),) int32 per-tile step bounds (each
+            tile's max segment duration).  With segments pre-sorted by
+            duration descending (Tacotron2SA.synthesize ragged path) only
+            the first tile pays for the long-duration tail and all-pad
+            tiles cost zero steps; the reference runs every phoneme to
+            the static cap (/root/reference/tts.py:243-263).
     Returns:
         (P, D, odim) float32 frames (valid frames selected by caller).
     """
@@ -400,6 +443,11 @@ def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     ]
 
     grid = (Pp // TILE,)
+    ragged = bounds is not None
+    if ragged:
+        bounds = jnp.asarray(bounds, jnp.int32).reshape(grid[0])
+    else:
+        bounds = jnp.zeros((1,), jnp.int32)  # unused placeholder
     tile_specs = [
         pl.BlockSpec((TILE, enc_seg.shape[1]), lambda i: (i, 0),
                      memory_space=pltpu.VMEM),
@@ -413,12 +461,13 @@ def fused_ar_decode(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     ]
     out = pl.pallas_call(
         functools.partial(_kernel, D=D, odim=odim, dunits=dunits,
-                          zoneout=float(zoneout), dropout=float(dropout)),
+                          zoneout=float(zoneout), dropout=float(dropout),
+                          ragged=ragged),
         grid=grid,
-        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] + tile_specs
+        in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + tile_specs
         + weight_specs,
         out_specs=pl.BlockSpec((TILE, D, odim), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((Pp, D, odim), jnp.float32),
-    )(jnp.asarray(seed, jnp.int32).reshape(1), *args)
+    )(jnp.asarray(seed, jnp.int32).reshape(1), bounds, *args)
     return out[:P]

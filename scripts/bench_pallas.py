@@ -146,6 +146,48 @@ def bench_model(cfg, name, P, n, dropout=0.5):
         except Exception as exc:
             row[tag] = f"FAILED: {type(exc).__name__}"
 
+    # --- duration-bounded RAGGED variants (synthesize ragged_decode):
+    # segments sorted by duration descending, per-tile bounds for the
+    # kernels, a dynamic trip count for the scan — work scales with
+    # actual durations (mean ~8) instead of the max_dur cap
+    from fcl_taco2_tpu.ops.decoder_pallas import TILE
+    order = np.argsort(-np.asarray(dur))
+    enc_s = enc_seg[jnp.asarray(order)]
+    dur_s = dur[jnp.asarray(order)]
+    pos_s = position[jnp.asarray(order)]
+    n_tiles = -(-P // TILE)
+    padded = np.zeros(n_tiles * TILE, np.int32)
+    padded[:P] = np.asarray(dur)[order]
+    bounds = jnp.asarray(padded.reshape(n_tiles, TILE).max(axis=1))
+    step_bound = dur_s.max()
+    mask_s = frame_mask[jnp.asarray(order)]
+    row["ragged_step_bound"] = int(np.asarray(step_bound))
+
+    p32 = params
+    row["scan_ragged_fp32_ms"] = _time_injit(
+        lambda i, eps: decoder_inference(
+            p32, state, cfg, enc_s + eps, dur_s, pos_s, mask_s,
+            jax.random.fold_in(key, i), step_bound=step_bound), n) * 1e3
+    if fits_vmem(cfg):
+        try:
+            row["fused_ragged_fp32_ms"] = _time_injit(
+                lambda i, eps: fused_ar_decode(
+                    params, enc_s + eps, pos_s, i,
+                    zoneout=cfg.zoneout_rate, dropout=dropout,
+                    weights_dtype=jnp.float32, bounds=bounds), n) * 1e3
+        except Exception as exc:
+            row["fused_ragged_fp32_ms"] = f"FAILED: {type(exc).__name__}"
+    if hbm_stream_compatible(cfg):
+        try:
+            row["hbm_stream_ragged_bf16_ms"] = _time_injit(
+                lambda i, eps: fused_ar_decode_hbm(
+                    params, enc_s + eps, pos_s, i,
+                    zoneout=cfg.zoneout_rate, dropout=dropout,
+                    weights_dtype=jnp.bfloat16, bounds=bounds), n) * 1e3
+        except Exception as exc:
+            row["hbm_stream_ragged_bf16_ms"] = \
+                f"FAILED: {type(exc).__name__}"
+
     best_scan = min(row["scan_fp32_ms"], row["scan_bf16_ms"])
     fused = [v for v in (row.get("fused_fp32_ms"), row.get("fused_bf16_ms"))
              if isinstance(v, float)]
@@ -156,6 +198,15 @@ def bench_model(cfg, name, P, n, dropout=0.5):
            if isinstance(v, float)]
     row["best_hbm_stream_speedup_vs_best_scan"] = \
         round(best_scan / min(hbm), 2) if hbm else None
+    ragged = [v for v in (row.get("scan_ragged_fp32_ms"),
+                          row.get("fused_ragged_fp32_ms"),
+                          row.get("hbm_stream_ragged_bf16_ms"))
+              if isinstance(v, float)]
+    row["best_ragged_speedup_vs_best_capped"] = None
+    capped = fused + hbm + [best_scan]
+    if ragged and capped:
+        row["best_ragged_speedup_vs_best_capped"] = \
+            round(min(capped) / min(ragged), 2)
     print(json.dumps(row))
     return row
 
