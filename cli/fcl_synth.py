@@ -38,6 +38,11 @@ def get_parser():
     p.add_argument("--n-devices", type=int, default=None,
                    help="shard the decode batch over this many devices "
                         "(default 1; batch-size must divide it)")
+    p.add_argument("--no-ragged-decode", action="store_true",
+                   help="disable the duration-sorted, duration-bounded AR "
+                        "decode (debug/parity aid: the legacy path runs "
+                        "every phoneme to the max_dur cap like the "
+                        "reference, tts.py:243-263)")
     return p
 
 
@@ -67,7 +72,8 @@ def main(argv=None):
         from fcl_taco2_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(args.n_devices)
     synth = Synthesizer(model, params, state, batch_size=args.batch_size,
-                        frame_per_token=args.frame_per_token, mesh=mesh)
+                        frame_per_token=args.frame_per_token, mesh=mesh,
+                        ragged_decode=not args.no_ragged_decode)
     mean_fps = synth.synth_manifest(
         utts, args.out, write_ark=not args.no_ark,
         rng=jax.random.PRNGKey(args.seed),
