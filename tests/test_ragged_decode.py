@@ -166,6 +166,38 @@ def test_synthesize_ragged_matches_legacy(use_dur):
                                np.asarray(want["mel"]), atol=1e-5)
 
 
+@pytest.mark.parametrize("variant", [
+    dict(reduction_factor=2, max_dur=8),
+    dict(prenet_layers=0),
+    dict(postnet_layers=0),
+    dict(elayers=0),
+    dict(use_concate=False),
+    dict(append_position=False),
+])
+def test_synthesize_ragged_matches_legacy_variants(variant):
+    """Ragged == capped across the reference's config variants (r>1 frame
+    bounds round up to r-groups; no-prenet removes the AR feedback
+    nonlinearity; no-concate drops the hoisted enc feat_out half...)."""
+    cfg = tiny_config(dropout_rate=0.0, zoneout_rate=0.0, **variant)
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    tokens = jnp.asarray(np.array([[1, 4, 2, 7, 3], [5, 2, 8, 0, 0]]),
+                         jnp.int32)
+    ilens = jnp.asarray([5, 3], jnp.int32)
+    kw = dict(frame_budget=32, rng=jax.random.PRNGKey(1),
+              durations=jnp.asarray(
+                  np.array([[2, 6, 1, 3, 2], [4, 1, 5, 0, 0]]), jnp.int32),
+              decoder_backend="scan")
+    want = model.synthesize(params, state, tokens, ilens,
+                            ragged_decode=False, **kw)
+    got = model.synthesize(params, state, tokens, ilens,
+                           ragged_decode=True, **kw)
+    np.testing.assert_array_equal(np.asarray(want["olens"]),
+                                  np.asarray(got["olens"]))
+    np.testing.assert_allclose(np.asarray(got["mel"]),
+                               np.asarray(want["mel"]), atol=1e-5)
+
+
 def test_synthesize_ragged_jits_once():
     """The ragged path must stay fully jittable (device argsort, traced
     bounds): one compile, d_factor traced."""
