@@ -102,6 +102,17 @@ class BatchConverter:
         return build_plan(durations, olens, self.max_dur, n_seg_padded,
                           max_olen)
 
+    def _build_classed_plan(self, durations, olens, caps, max_olen):
+        """Prefer the native C++ classed-plan builder (bit-exact vs numpy,
+        native/fclrt.cpp); fall back to ops/regroup.build_classed_plan."""
+        from fcl_taco2_tpu.data.native import (build_classed_plan_native,
+                                               native_available)
+        if native_available():
+            return build_classed_plan_native(
+                durations, olens, self.duration_classes, caps, max_olen)
+        return build_classed_plan(durations, olens, self.duration_classes,
+                                  caps, max_olen)
+
     def _features(self, utt: Utterance):
         if self.cache is not None:
             if utt.uttid not in self.cache:
@@ -178,8 +189,7 @@ class BatchConverter:
                 caps = duration_class_caps(
                     [durations[i, :ilens[i]] for i in range(n)],
                     self.duration_classes, n, cap_bucket=self.seg_bucket)
-            plan = build_classed_plan(durations, olens,
-                                      self.duration_classes, caps, Lmax)
+            plan = self._build_classed_plan(durations, olens, caps, Lmax)
             return Batch(
                 seg_utt=None, seg_tok=None, seg_start=None, frame_mask=None,
                 position=None, utt_gather=plan.utt_gather,

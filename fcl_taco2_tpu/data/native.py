@@ -12,7 +12,7 @@ import threading
 
 import numpy as np
 
-from fcl_taco2_tpu.ops.regroup import RegroupPlan
+from fcl_taco2_tpu.ops.regroup import ClassedPlan, ClassPlan, RegroupPlan
 
 _REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
@@ -47,6 +47,12 @@ def _load():
             i32p, ctypes.c_int32, ctypes.c_int32, ctypes.c_int32,
             ctypes.c_int32, ctypes.c_int32,
             i32p, i32p, i32p, i32p, u8p, f32p, i32p, u8p,
+        ]
+        lib.fclrt_build_classed_plan.restype = ctypes.c_int32
+        lib.fclrt_build_classed_plan.argtypes = [
+            i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p,
+            ctypes.c_int32, ctypes.c_int32,
+            i32p, i32p, i32p, i32p, u8p, u8p, f32p, i32p, i32p, u8p,
         ]
         _lib = lib
         return _lib
@@ -86,4 +92,68 @@ def build_plan_native(durations, olens, max_dur, n_seg_padded, max_olen):
     seg_mask[:n] = True
     return RegroupPlan(seg_utt, seg_tok, seg_start, seg_dur, seg_mask,
                        frame_mask.astype(bool), position, utt_gather,
+                       utt_mask.astype(bool), int(n))
+
+
+def build_classed_plan_native(durations, olens, class_durs, class_caps,
+                              max_olen):
+    """Native ClassedPlan builder; same contract (and bit-exact output)
+    as regroup.build_classed_plan."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("libfclrt.so unavailable")
+    durations = np.ascontiguousarray(durations, np.int32)
+    olens = np.ascontiguousarray(olens, np.int32)
+    B, Tmax = durations.shape
+    class_durs = tuple(int(d) for d in class_durs)
+    class_caps = tuple(int(c) for c in class_caps)
+    if list(class_durs) != sorted(set(class_durs)):
+        raise ValueError(f"class_durs must be strictly ascending, got "
+                         f"{class_durs}")
+    if len(class_caps) != len(class_durs):
+        raise ValueError("class_caps/class_durs length mismatch")
+    durs_arr = np.asarray(class_durs, np.int32)
+    caps_arr = np.asarray(class_caps, np.int32)
+    n_classes = len(class_durs)
+    rows = int(caps_arr.sum())
+    cells = int((caps_arr.astype(np.int64) * durs_arr).sum())
+
+    seg_utt = np.empty(rows, np.int32)
+    seg_tok = np.empty(rows, np.int32)
+    seg_start = np.empty(rows, np.int32)
+    seg_dur = np.empty(rows, np.int32)
+    seg_mask = np.empty(rows, np.uint8)
+    frame_mask = np.empty(cells, np.uint8)
+    position = np.empty(cells, np.float32)
+    counts = np.empty(n_classes, np.int32)
+    utt_gather = np.empty((B, max_olen), np.int32)
+    utt_mask = np.empty((B, max_olen), np.uint8)
+
+    n = lib.fclrt_build_classed_plan(
+        durations, B, Tmax, olens, durs_arr, caps_arr, n_classes,
+        max_olen, seg_utt, seg_tok, seg_start, seg_dur, seg_mask,
+        frame_mask, position, counts, utt_gather.reshape(-1),
+        utt_mask.reshape(-1))
+    if n == -2:
+        raise ValueError(
+            f"duration exceeds top class cap {class_durs[-1]}")
+    if n < 0:
+        raise ValueError(
+            f"segments overflow the duration-class capacities "
+            f"{class_caps}; enlarge the caps (converter fit_corpus "
+            "derives safe ones)")
+
+    classes = []
+    r = c = 0
+    for i in range(n_classes):
+        P_c, D_c = class_caps[i], class_durs[i]
+        classes.append(ClassPlan(
+            D_c, seg_utt[r:r + P_c], seg_tok[r:r + P_c],
+            seg_start[r:r + P_c], seg_dur[r:r + P_c],
+            seg_mask[r:r + P_c].astype(bool),
+            frame_mask[c:c + P_c * D_c].reshape(P_c, D_c).astype(bool),
+            position[c:c + P_c * D_c].reshape(P_c, D_c)))
+        r += P_c
+        c += P_c * D_c
+    return ClassedPlan(tuple(classes), utt_gather,
                        utt_mask.astype(bool), int(n))
