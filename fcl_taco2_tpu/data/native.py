@@ -52,7 +52,7 @@ def _load():
         lib.fclrt_build_classed_plan.argtypes = [
             i32p, ctypes.c_int32, ctypes.c_int32, i32p, i32p, i32p,
             ctypes.c_int32, ctypes.c_int32,
-            i32p, i32p, i32p, i32p, u8p, u8p, f32p, i32p, i32p, u8p,
+            i32p, i32p, i32p, i32p, u8p, u8p, f32p, i32p, u8p,
         ]
         _lib = lib
         return _lib
@@ -125,18 +125,20 @@ def build_classed_plan_native(durations, olens, class_durs, class_caps,
     seg_mask = np.empty(rows, np.uint8)
     frame_mask = np.empty(cells, np.uint8)
     position = np.empty(cells, np.float32)
-    counts = np.empty(n_classes, np.int32)
     utt_gather = np.empty((B, max_olen), np.int32)
     utt_mask = np.empty((B, max_olen), np.uint8)
 
     n = lib.fclrt_build_classed_plan(
         durations, B, Tmax, olens, durs_arr, caps_arr, n_classes,
         max_olen, seg_utt, seg_tok, seg_start, seg_dur, seg_mask,
-        frame_mask, position, counts, utt_gather.reshape(-1),
+        frame_mask, position, utt_gather.reshape(-1),
         utt_mask.reshape(-1))
     if n == -2:
         raise ValueError(
             f"duration exceeds top class cap {class_durs[-1]}")
+    if n == -3:
+        raise ValueError(
+            f"utterance frames exceed max_olen={max_olen}")
     if n < 0:
         raise ValueError(
             f"segments overflow the duration-class capacities "

@@ -156,14 +156,11 @@ class StreamTTS:
         # duration instead of the static max_dur cap (mean durations are
         # ~8 vs cap 50), directly cutting time-to-first-audio; chunks are
         # small so no sorting is needed (usually a single kernel tile)
-        from fcl_taco2_tpu.ops.decoder_pallas import TILE
-        P = dur.shape[0]
-        n_tiles = -(-P // TILE)
-        padded = jnp.zeros(n_tiles * TILE, jnp.int32).at[:P].set(dur)
+        from fcl_taco2_tpu.ops.decoder_pallas import tile_step_bounds
         seg_out = self.model.decode_segments(
             params, state, enc_seg, dur, position.astype(dtype), mask,
             key, decoder_backend=self.decoder_backend,
-            tile_bounds=padded.reshape(n_tiles, TILE).max(axis=1),
+            tile_bounds=tile_step_bounds(dur),
             step_bound=dur.max())
         D = mask.shape[1]
         frame_pos = seg_start[:, None] + jnp.arange(D, dtype=jnp.int32)

@@ -408,13 +408,10 @@ class Tacotron2SA:
             seg_utt = jnp.take(seg_utt, order)
             seg_tok = jnp.take(seg_tok, order)
             seg_start = jnp.take(seg_start, order)
-            from fcl_taco2_tpu.ops.decoder_pallas import TILE
-            n_tiles = -(-P // TILE)
-            padded = jnp.zeros(n_tiles * TILE, jnp.int32).at[:P].set(
-                flat_dur)
+            from fcl_taco2_tpu.ops.decoder_pallas import tile_step_bounds
             # per-tile max is bound-correct even unsorted; sorting is
             # what makes the bounds SMALL
-            tile_bounds = padded.reshape(n_tiles, TILE).max(axis=1)
+            tile_bounds = tile_step_bounds(flat_dur)
             step_bound = flat_dur.max()
         d_range = jnp.arange(D, dtype=jnp.int32)[None, :]
         frame_mask = d_range < flat_dur[:, None]

@@ -32,6 +32,19 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 128  # phoneme rows per grid step (fp32 sublane-friendly)
 
 
+def tile_step_bounds(flat_dur):
+    """Per-tile AR step bounds for the ragged decode: the max duration in
+    each TILE-row group of ``flat_dur`` (traced, device-side).  The shape
+    ((ceil(P/TILE),)) matches both kernels' internal grid exactly — every
+    caller must build bounds through this helper so a TILE change cannot
+    desynchronize them."""
+    P = flat_dur.shape[0]
+    n_tiles = -(-P // TILE)
+    padded = jnp.zeros(n_tiles * TILE, jnp.int32).at[:P].set(
+        flat_dur.astype(jnp.int32))
+    return padded.reshape(n_tiles, TILE).max(axis=1)
+
+
 def _dropout_bits(shape, rate):
     """Bernoulli keep mask from on-core PRNG; scale kept values."""
     bits = pltpu.prng_random_bits(shape)  # uint32

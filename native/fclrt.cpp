@@ -102,18 +102,18 @@ int32_t fclrt_build_plan(
 //   seg_mask   : [sum(class_caps)] uint8
 //   frame_mask : [sum(class_caps[c] * class_durs[c])] uint8
 //   position   : [same] float32
-//   counts     : [n_classes] int32 real segments per class
 //   utt_gather : [B * max_olen] int32, utt_mask : [B * max_olen] uint8
 // Returns: total real segments, -1 on capacity overflow, -2 when a
-// duration exceeds the top class cap.
+// duration exceeds the top class cap, -3 when an utterance's frames
+// exceed max_olen (the numpy builder would index out of bounds there;
+// never write past the caller's buffers).
 int32_t fclrt_build_classed_plan(
     const int32_t* durations, int32_t B, int32_t Tmax,
     const int32_t* olens, const int32_t* class_durs,
     const int32_t* class_caps, int32_t n_classes, int32_t max_olen,
     int32_t* seg_utt, int32_t* seg_tok, int32_t* seg_start,
     int32_t* seg_dur, uint8_t* seg_mask, uint8_t* frame_mask,
-    float* position, int32_t* counts, int32_t* utt_gather,
-    uint8_t* utt_mask) {
+    float* position, int32_t* utt_gather, uint8_t* utt_mask) {
   int64_t rows = 0, cells = 0;
   for (int32_t c = 0; c < n_classes; ++c) {
     rows += class_caps[c];
@@ -126,7 +126,6 @@ int32_t fclrt_build_classed_plan(
   std::memset(seg_mask, 0, sizeof(uint8_t) * rows);
   std::memset(frame_mask, 0, sizeof(uint8_t) * cells);
   std::memset(position, 0, sizeof(float) * cells);
-  std::memset(counts, 0, sizeof(int32_t) * n_classes);
   std::memset(utt_gather, 0, sizeof(int32_t) * B * max_olen);
 
   // segments in utterance-major order
@@ -138,6 +137,7 @@ int32_t fclrt_build_classed_plan(
       const int32_t d = durs_b[t];
       if (d <= 0) { continue; }
       if (d > class_durs[n_classes - 1]) return -2;
+      if (frame + d > max_olen) return -3;  // utt_gather bounds guard
       // first class whose cap fits (searchsorted 'left')
       int32_t c = 0;
       while (class_durs[c] < d) ++c;
@@ -168,7 +168,6 @@ int32_t fclrt_build_classed_plan(
     }
     std::sort(idx.begin(), idx.end());  // keep utterance-major order
     const int32_t D_c = class_durs[c];
-    counts[c] = (int32_t)idx.size();
     for (int64_t j = 0; j < (int64_t)idx.size(); ++j) {
       const int64_t i = idx[j];
       const int64_t row = row_off + j;

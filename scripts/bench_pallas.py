@@ -150,15 +150,12 @@ def bench_model(cfg, name, P, n, dropout=0.5):
     # segments sorted by duration descending, per-tile bounds for the
     # kernels, a dynamic trip count for the scan — work scales with
     # actual durations (mean ~8) instead of the max_dur cap
-    from fcl_taco2_tpu.ops.decoder_pallas import TILE
+    from fcl_taco2_tpu.ops.decoder_pallas import tile_step_bounds
     order = np.argsort(-np.asarray(dur))
     enc_s = enc_seg[jnp.asarray(order)]
     dur_s = dur[jnp.asarray(order)]
     pos_s = position[jnp.asarray(order)]
-    n_tiles = -(-P // TILE)
-    padded = np.zeros(n_tiles * TILE, np.int32)
-    padded[:P] = np.asarray(dur)[order]
-    bounds = jnp.asarray(padded.reshape(n_tiles, TILE).max(axis=1))
+    bounds = tile_step_bounds(dur_s)
     step_bound = dur_s.max()
     mask_s = frame_mask[jnp.asarray(order)]
     row["ragged_step_bound"] = int(np.asarray(step_bound))

@@ -77,3 +77,7 @@ def test_native_classed_plan_errors_match_numpy():
         build_classed_plan_native(durations, olens, (2, 4), (1, 1), 12)
     with pytest.raises(ValueError, match="top class cap"):
         build_classed_plan_native(durations, olens, (1, 2), (8, 8), 12)
+    # frames past max_olen must be a loud error, never an out-of-bounds
+    # write into the caller's utt_gather buffer
+    with pytest.raises(ValueError, match="max_olen"):
+        build_classed_plan_native(durations, olens, (2, 4), (8, 8), 4)

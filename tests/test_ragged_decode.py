@@ -137,6 +137,52 @@ def test_hbm_kernel_bounds_interpret(monkeypatch):
                                    err_msg=f"chunk_rows={chunk_rows}")
 
 
+def test_fused_kernel_multi_tile_distinct_bounds(monkeypatch):
+    """P > TILE with DIFFERENT per-tile bounds: each grid tile must read
+    ITS OWN bound (bounds_ref[program_id]), run exactly that many steps,
+    and zero everything past it — a kernel that read bounds[0] everywhere
+    or transposed the grid axis would fail one of the two tiles."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dropout_rate=0.0, max_dur=7)
+    params, _ = decoder_init(jax.random.PRNGKey(0), cfg)
+    P = dp.TILE + 5  # two grid tiles
+    rng = np.random.default_rng(3)
+    # tile 0: durations up to 6 (sorted desc); tile 1: up to 3
+    dur = np.concatenate([
+        np.sort(rng.integers(1, 7, dp.TILE))[::-1],
+        np.array([3, 2, 2, 1, 0])]).astype(np.int32)
+    enc_seg, frame_mask, position = _seg_inputs(cfg, dur)
+    bounds = dp.tile_step_bounds(jnp.asarray(dur))
+    np.testing.assert_array_equal(np.asarray(bounds),
+                                  [int(dur[:dp.TILE].max()), 3])
+
+    full = dp.fused_ar_decode(params, enc_seg, position, 0,
+                              zoneout=cfg.zoneout_rate, dropout=0.0)
+    got = dp.fused_ar_decode(params, enc_seg, position, 0,
+                             zoneout=cfg.zoneout_rate, dropout=0.0,
+                             bounds=bounds)
+    mask = np.asarray(frame_mask)[..., None]
+    np.testing.assert_allclose(np.asarray(got) * mask,
+                               np.asarray(full) * mask, atol=1e-6)
+    # tile 1 segments: frames at/after ITS bound (3) are unwritten zeros —
+    # proving tile 1 did not run to tile 0's larger bound
+    assert (np.asarray(got)[dp.TILE:, 3:, :] == 0.0).all()
+    # tile 0 rows with duration > 3 have real (nonzero) frames past 3 —
+    # proving tile 0 did not stop at tile 1's smaller bound
+    long_rows = np.asarray(got)[:dp.TILE][dur[:dp.TILE] > 4]
+    assert np.abs(long_rows[:, 4, :]).max() > 0
+
+
 @pytest.mark.parametrize("use_dur", [False, True])
 def test_synthesize_ragged_matches_legacy(use_dur):
     """End-to-end synthesize: ragged (sorted + bounded) == legacy capped
