@@ -43,6 +43,10 @@ def get_parser():
                         "decode (debug/parity aid: the legacy path runs "
                         "every phoneme to the max_dur cap like the "
                         "reference, tts.py:243-263)")
+    p.add_argument("--quantize", choices=("none", "int8"), default="none",
+                   help="int8: stream the weight-streaming Pallas "
+                        "decoder's big matrices as per-column int8 (half "
+                        "the DMA bytes; weight-only, ~1e-2 rel mel error)")
     return p
 
 
@@ -73,7 +77,8 @@ def main(argv=None):
         mesh = make_mesh(args.n_devices)
     synth = Synthesizer(model, params, state, batch_size=args.batch_size,
                         frame_per_token=args.frame_per_token, mesh=mesh,
-                        ragged_decode=not args.no_ragged_decode)
+                        ragged_decode=not args.no_ragged_decode,
+                        quantize=args.quantize)
     mean_fps = synth.synth_manifest(
         utts, args.out, write_ark=not args.no_ark,
         rng=jax.random.PRNGKey(args.seed),

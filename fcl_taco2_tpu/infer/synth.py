@@ -30,17 +30,21 @@ def _round_up(x, mult):
 class Synthesizer:
     def __init__(self, model: Tacotron2SA, params, state, batch_size=8,
                  tok_bucket=32, frame_per_token=16, frame_bucket=256,
-                 mesh=None, ragged_decode=True):
+                 mesh=None, ragged_decode=True, quantize="none"):
         """``mesh``: optional jax Mesh for multi-chip serving — params are
         replicated, the utterance axis is sharded over all mesh axes (the
         phoneme-segment axis inside synthesize shards with it: segments
         are utterance-major, so decode compute stays chip-local).
         batch_size must divide by the mesh size.
         ``ragged_decode``: duration-sorted, duration-bounded AR decode
-        (Tacotron2SA.synthesize); off = legacy max_dur-capped loops."""
+        (Tacotron2SA.synthesize); off = legacy max_dur-capped loops.
+        ``quantize``: "none" | "int8" — int8 weight-only quantization of
+        the weight-streaming Pallas decoder's streamed matrices (halves
+        its DMA bytes; see Tacotron2SA.synthesize)."""
         self.model = model
         self.mesh = mesh
         self.ragged_decode = bool(ragged_decode)
+        self.quantize = quantize
         if mesh is not None and batch_size % mesh.devices.size:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"mesh size {mesh.devices.size}")
@@ -88,7 +92,8 @@ class Synthesizer:
                         frame_budget=budget,
                         durations=durations if use_dur else None,
                         d_factor=d_factor,
-                        ragged_decode=self.ragged_decode)
+                        ragged_decode=self.ragged_decode,
+                        quantize=self.quantize)
                 return core
 
             if self.mesh is not None and self.mesh.devices.size > 1:

@@ -346,7 +346,7 @@ class Tacotron2SA:
                    frame_budget: int,
                    durations=None, f0=None, energy=None, spembs=None,
                    d_factor: float = 1.0, decoder_backend: str = "auto",
-                   ragged_decode: bool = True):
+                   ragged_decode: bool = True, quantize: str = "none"):
         """Batched device-only synthesis.
 
         Args:
@@ -369,6 +369,12 @@ class Tacotron2SA:
                 zero either way (only the stochastic prenet-dropout draw
                 moves with the slot order).  The reference pads every
                 phoneme to the cap (/root/reference/tts.py:243-263).
+            quantize: "none" | "int8" — int8 streams the weight-streaming
+                Pallas decoder's big recurrent matrices as per-column
+                symmetric int8 (half the DMA bytes of bf16; weight-only,
+                ~1e-2 relative mel error).  Only affects the pallas_hbm
+                path — VMEM-resident and scan decodes ignore it (their
+                weights are not re-read per step from HBM).
 
         Returns dict(mel=(B, frame_budget, odim), olens=(B,), d_outs, ...).
 
@@ -426,7 +432,8 @@ class Tacotron2SA:
                                        position, frame_mask, k_dec,
                                        decoder_backend=decoder_backend,
                                        tile_bounds=tile_bounds,
-                                       step_bound=step_bound)
+                                       step_bound=step_bound,
+                                       quantize=quantize)
 
         # scatter phoneme frames into per-utterance timelines; frames past
         # the budget or past each phoneme's duration go to a drop slot
@@ -449,7 +456,8 @@ class Tacotron2SA:
 
     def decode_segments(self, params, state, enc_seg, flat_dur, position,
                         frame_mask, k_dec, decoder_backend: str = "auto",
-                        tile_bounds=None, step_bound=None):
+                        tile_bounds=None, step_bound=None,
+                        quantize: str = "none"):
         """AR-decode a batch of phoneme segments -> (P, max_dur, odim).
 
         The backend dispatch half of ``synthesize`` — shared by
@@ -465,6 +473,9 @@ class Tacotron2SA:
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
         P, D = frame_mask.shape
+        if quantize not in ("none", "int8"):
+            raise ValueError(f"quantize must be 'none' or 'int8', "
+                             f"got {quantize!r}")
         # the fused kernel hard-codes the reference topology: 2 prenet
         # layers, appended position column, enc-concat feat_out, 2 LSTMs
         pallas_compatible = (cfg.prenet_layers == 2 and cfg.append_position
@@ -532,13 +543,15 @@ class Tacotron2SA:
         elif use_hbm:
             # weight-streaming Pallas AR loop: big recurrent matrices stay
             # in HBM, double-buffered into VMEM per chunk (bf16 weights —
-            # fp32 doubles the DMA bound, measured slower)
+            # fp32 doubles the DMA bound, measured slower; int8 halves it,
+            # see quantize arg)
             from fcl_taco2_tpu.ops.decoder_pallas import fused_ar_decode_hbm
             seed = jax.random.randint(k_dec, (), 0, 2 ** 31 - 1)
+            stream_wdt = jnp.int8 if quantize == "int8" else jnp.bfloat16
             seg_out = fused_ar_decode_hbm(
                 params["decoder"], enc_seg, position, seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
-                weights_dtype=jnp.bfloat16, bounds=tile_bounds)
+                weights_dtype=stream_wdt, bounds=tile_bounds)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
         else:

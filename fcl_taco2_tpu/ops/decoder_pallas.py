@@ -158,9 +158,9 @@ def _hbm_n_slots(n_chunks):
 
 def _kernel_hbm(seed_ref, bounds_ref, enc_gates_ref, enc_out_ref, pos_ref,
                 pre_w1_ref, pre_b1_ref, pre_w2_ref, pre_b2_ref, wx0_pre_ref,
-                wx0_pos_ref, bh0_ref, bx1_ref, bh1_ref, wf_z_ref, wbig_ref,
-                out_ref, wchunk, dma_sem, *, D, odim, dunits, CH, zoneout,
-                dropout, ragged):
+                wx0_pos_ref, bh0_ref, bx1_ref, bh1_ref, wf_z_ref, scales_ref,
+                wbig_ref, out_ref, wchunk, dma_sem, *, D, odim, dunits, CH,
+                zoneout, dropout, ragged, quantized):
     """Teacher-size AR decoder loop: big recurrent matrices streamed from
     HBM (see fused_ar_decode_hbm).
 
@@ -172,15 +172,28 @@ def _kernel_hbm(seed_ref, bounds_ref, enc_gates_ref, enc_out_ref, pos_ref,
     (prenet, LSTM nonlinearities) overlap weight streaming; with the
     2-slot schedule those phases left the DMA engine idle and the kernel
     ran at ~55% of its HBM roofline (results/PALLAS_decoder.json
-    hbm_pipeline experiment)."""
+    hbm_pipeline experiment).
+
+    ``quantized``: the streamed chunks are per-output-column symmetric
+    int8; each matrix's contraction is accumulated in fp32 from the raw
+    int8 codes (cast to bf16 — integers <= 127 are exact in bf16 — so
+    the MXU runs natively) and dequantized ONCE per step with that
+    matrix's scale row from ``scales_ref`` (3, 4H).  Valid because the
+    scale is per OUTPUT column: (h @ q) * s == h @ (q * s)."""
     H = dunits
     n_per = H // CH
     n_chunks = 3 * n_per  # wh0, wx1, wh1 stacked row-wise in wbig
     n_slots = _hbm_n_slots(n_chunks)
     wdt = wf_z_ref.dtype
+    qdt = jnp.bfloat16 if quantized else wdt
 
     def mm(a, w):
         return jnp.dot(a.astype(wdt), w, preferred_element_type=jnp.float32)
+
+    def mmq(a, w):
+        # streamed-chunk contraction: int8 codes ride the MXU as bf16
+        return jnp.dot(a.astype(qdt), w.astype(qdt),
+                       preferred_element_type=jnp.float32)
 
     if dropout > 0.0:
         pltpu.prng_seed(seed_ref[0] + pl.program_id(0))
@@ -219,30 +232,30 @@ def _kernel_hbm(seed_ref, bounds_ref, enc_gates_ref, enc_out_ref, pos_ref,
         if dropout > 0.0:
             p = p * _dropout_bits(p.shape, dropout)
 
+        def stream_mat(m, h_in):
+            """Chunked contraction h_in @ wbig[matrix m]; the walk is
+            UNROLLED (static slices — Mosaic cannot dynamically slice the
+            lane dim).  Accumulates fp32, dequantizes once per matrix."""
+            acc = jnp.zeros((h_in.shape[0], 4 * H), jnp.float32)
+            for k in range(n_per):
+                c = m * n_per + k
+                slot = consume(c)
+                acc = acc + mmq(h_in[:, k * CH:(k + 1) * CH], wchunk[slot])
+                rearm(c)
+            if quantized:
+                acc = acc * scales_ref[m, :][None, :]
+            return acc
+
         pos_t = pos_ref[t, :][:, None]
         gates0 = (enc_gates_ref[...]
                   + mm(p, wx0_pre_ref[:])
                   + pos_t * wx0_pos_ref[:].astype(jnp.float32)
-                  + bh0_ref[:])
-        # chunked contractions over streamed rows; walks are UNROLLED
-        # (static slices — Mosaic cannot dynamically slice the lane dim)
-        for c in range(n_per):  # h0 @ wh0
-            slot = consume(c)
-            gates0 = gates0 + mm(h0[:, c * CH:(c + 1) * CH], wchunk[slot])
-            rearm(c)
+                  + bh0_ref[:]
+                  + stream_mat(0, h0))
         h0n, c0n = lstm_half(gates0, h0, c0)
 
-        gates1 = bx1_ref[:] + bh1_ref[:]
-        for k in range(n_per):  # h0n @ wx1
-            c = n_per + k
-            slot = consume(c)
-            gates1 = gates1 + mm(h0n[:, k * CH:(k + 1) * CH], wchunk[slot])
-            rearm(c)
-        for k in range(n_per):  # h1 @ wh1
-            c = 2 * n_per + k
-            slot = consume(c)
-            gates1 = gates1 + mm(h1[:, k * CH:(k + 1) * CH], wchunk[slot])
-            rearm(c)
+        gates1 = (bx1_ref[:] + bh1_ref[:]
+                  + stream_mat(1, h0n) + stream_mat(2, h1))
         h1n, c1n = lstm_half(gates1, h1, c1)
 
         out = mm(h1n, wf_z_ref[:]) + enc_out_ref[...]
@@ -268,6 +281,18 @@ def _kernel_hbm(seed_ref, bounds_ref, enc_gates_ref, enc_out_ref, pos_ref,
         jax.lax.fori_loop(0, D, step, (prev0, zeros, zeros, zeros, zeros))
     for c in range(n_slots):  # drain the in-flight rearms before exit
         dma(c, c).wait()
+
+
+def quantize_per_column(w):
+    """Symmetric per-output-column int8 weight quantization:
+    ``w ~= codes * scale[None, :]`` with codes in [-127, 127].  Per-column
+    scales make the dequantization commute with the contraction
+    ((h @ q) * s == h @ (q * s)), so kernels can accumulate raw codes on
+    the MXU and scale once per step."""
+    s = jnp.max(jnp.abs(w), axis=0).astype(jnp.float32) / 127.0
+    s = jnp.maximum(s, jnp.float32(1e-30))  # dead columns: codes stay 0
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / s), -127, 127)
+    return q.astype(jnp.int8), s
 
 
 def hbm_stream_compatible(cfg):
@@ -298,6 +323,15 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     XLA scan's ~73 us/step (results/PALLAS_decoder.json teacher P=128) —
     the compute (~16 us/step at P=128) hides under the DMA.  Weights
     default to bf16 (fp32 doubles the DMA bound and loses the advantage).
+
+    ``weights_dtype=jnp.int8`` streams per-output-column symmetric int8
+    codes instead (quantize_per_column) — HALF the bf16 DMA bytes
+    (~12.6 MB/step at H=1024), pushing the kernel from DMA-bound toward
+    its compute floor; the small resident weights stay bf16 and the codes
+    are dequantized once per step inside the kernel (see _kernel_hbm).
+    Weight-only quantization: activations, biases and LSTM state stay
+    fp32, so the numeric cost is bounded per-column rounding (~1e-2
+    relative on the mel; tests/test_decoder_pallas.py pins it).
 
     Only worthwhile while P is a single tile (each grid tile re-streams
     the weights; the XLA scan reads them once per step for ALL P) — the
@@ -333,17 +367,26 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     wf = dec_params["feat_out"]["w"]
     wf_z, wf_enc = wf[:H], wf[H:]
 
+    quantized = jnp.dtype(weights_dtype) == jnp.int8
+    # int8 applies to the STREAMED matrices only; resident weights stay bf16
+    rdt = jnp.bfloat16 if quantized else weights_dtype
     f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
-    wdt = lambda x: x.astype(weights_dtype)  # noqa: E731
+    wdt = lambda x: x.astype(rdt)  # noqa: E731
 
     # hoisted step-invariant GEMMs (plain XLA, once per call)
     enc_gates = f32(enc_seg) @ f32(wx0_enc) \
         + f32(dec_params["lstm0"]["bx"])              # (Pp, 4H)
     enc_out = f32(enc_seg) @ f32(wf_enc)              # (Pp, odim)
 
-    wbig = jnp.concatenate([wdt(dec_params["lstm0"]["wh"]),
-                            wdt(dec_params["lstm1"]["wx"]),
-                            wdt(dec_params["lstm1"]["wh"])], axis=0)
+    big = [dec_params["lstm0"]["wh"], dec_params["lstm1"]["wx"],
+           dec_params["lstm1"]["wh"]]
+    if quantized:
+        qs = [quantize_per_column(w) for w in big]
+        wbig = jnp.concatenate([q for q, _ in qs], axis=0)
+        scales = jnp.stack([s for _, s in qs])        # (3, 4H) fp32
+    else:
+        wbig = jnp.concatenate([wdt(w) for w in big], axis=0)
+        scales = jnp.ones((3, 4 * H), jnp.float32)    # unused placeholder
 
     args = [
         enc_gates, enc_out, f32(position).T,
@@ -353,7 +396,7 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
         f32(dec_params["lstm0"]["bh"])[None, :],
         f32(dec_params["lstm1"]["bx"])[None, :],
         f32(dec_params["lstm1"]["bh"])[None, :],
-        wdt(wf_z),
+        wdt(wf_z), scales,
     ]
 
     grid = (Pp // TILE,)
@@ -378,7 +421,7 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     out = pl.pallas_call(
         functools.partial(_kernel_hbm, D=D, odim=odim, dunits=H, CH=CH,
                           zoneout=float(zoneout), dropout=float(dropout),
-                          ragged=ragged),
+                          ragged=ragged, quantized=quantized),
         grid=grid,
         in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)] * 2 + tile_specs
         + weight_specs

@@ -133,7 +133,8 @@ def bench_model(cfg, name, P, n, dropout=0.5):
     from fcl_taco2_tpu.ops.decoder_pallas import (fused_ar_decode_hbm,
                                                   hbm_stream_compatible)
     for wdt, tag in ((jnp.bfloat16, "hbm_stream_bf16_ms"),
-                     (jnp.float32, "hbm_stream_fp32_ms")):
+                     (jnp.float32, "hbm_stream_fp32_ms"),
+                     (jnp.int8, "hbm_stream_int8_ms")):
         if not hbm_stream_compatible(cfg):
             row[tag] = None
             continue
@@ -175,15 +176,16 @@ def bench_model(cfg, name, P, n, dropout=0.5):
         except Exception as exc:
             row["fused_ragged_fp32_ms"] = f"FAILED: {type(exc).__name__}"
     if hbm_stream_compatible(cfg):
-        try:
-            row["hbm_stream_ragged_bf16_ms"] = _time_injit(
-                lambda i, eps: fused_ar_decode_hbm(
-                    params, enc_s + eps, pos_s, i,
-                    zoneout=cfg.zoneout_rate, dropout=dropout,
-                    weights_dtype=jnp.bfloat16, bounds=bounds), n) * 1e3
-        except Exception as exc:
-            row["hbm_stream_ragged_bf16_ms"] = \
-                f"FAILED: {type(exc).__name__}"
+        for wdt, tag in ((jnp.bfloat16, "hbm_stream_ragged_bf16_ms"),
+                         (jnp.int8, "hbm_stream_ragged_int8_ms")):
+            try:
+                row[tag] = _time_injit(
+                    lambda i, eps, _w=wdt: fused_ar_decode_hbm(
+                        params, enc_s + eps, pos_s, i,
+                        zoneout=cfg.zoneout_rate, dropout=dropout,
+                        weights_dtype=_w, bounds=bounds), n) * 1e3
+            except Exception as exc:
+                row[tag] = f"FAILED: {type(exc).__name__}"
 
     best_scan = min(row["scan_fp32_ms"], row["scan_bf16_ms"])
     fused = [v for v in (row.get("fused_fp32_ms"), row.get("fused_bf16_ms"))
@@ -191,13 +193,15 @@ def bench_model(cfg, name, P, n, dropout=0.5):
     row["best_fused_speedup_vs_best_scan"] = \
         round(best_scan / min(fused), 2) if fused else None
     hbm = [v for v in (row.get("hbm_stream_bf16_ms"),
-                       row.get("hbm_stream_fp32_ms"))
+                       row.get("hbm_stream_fp32_ms"),
+                       row.get("hbm_stream_int8_ms"))
            if isinstance(v, float)]
     row["best_hbm_stream_speedup_vs_best_scan"] = \
         round(best_scan / min(hbm), 2) if hbm else None
     ragged = [v for v in (row.get("scan_ragged_fp32_ms"),
                           row.get("fused_ragged_fp32_ms"),
-                          row.get("hbm_stream_ragged_bf16_ms"))
+                          row.get("hbm_stream_ragged_bf16_ms"),
+                          row.get("hbm_stream_ragged_int8_ms"))
               if isinstance(v, float)]
     row["best_ragged_speedup_vs_best_capped"] = None
     capped = fused + hbm + [best_scan]

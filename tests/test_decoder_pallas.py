@@ -119,6 +119,66 @@ def test_hbm_stream_kernel_matches_scan(monkeypatch):
                                    err_msg=f"chunk_rows={chunk_rows}")
 
 
+def test_quantize_per_column_roundtrip():
+    """Symmetric per-column int8: dequantized weights land within half a
+    quantization step of the original, column-wise."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.normal(size=(24, 40)).astype(np.float32))
+    # a dead column must round-trip to exact zeros, not NaN/inf
+    w = w.at[:, 7].set(0.0)
+    q, s = dp.quantize_per_column(w)
+    assert q.dtype == jnp.int8 and s.shape == (40,)
+    deq = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+    err = np.abs(deq - np.asarray(w))
+    assert (err <= np.asarray(s)[None, :] * 0.5 + 1e-7).all()
+    assert (deq[:, 7] == 0.0).all()
+
+
+def test_hbm_stream_int8_matches_scan(monkeypatch):
+    """int8 weight-streaming kernel vs the fp32 lax.scan path: weight-only
+    per-column quantization of the three streamed matrices must stay within
+    a bounded relative mel error (the AR feedback compounds the per-column
+    rounding, so the budget is loose but pinned)."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dropout_rate=0.0, max_dur=7)
+    params, state = decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    P, D = 5, cfg.max_dur
+    enc_seg = jnp.asarray(rng.normal(size=(P, cfg.eunits)).astype(
+        np.float32))
+    dur = np.array([3, 7, 1, 5, 2], np.int32)
+    frame_mask = jnp.asarray(np.arange(D)[None, :] < dur[:, None])
+    position = jnp.asarray(np.where(
+        np.asarray(frame_mask),
+        np.arange(D)[None, :] / np.maximum(dur[:, None], 1), 0.0
+    ).astype(np.float32))
+
+    want = decoder_inference(params, state, cfg, enc_seg,
+                             jnp.asarray(dur), position, frame_mask,
+                             jax.random.PRNGKey(1))
+    for chunk_rows in (cfg.dunits, cfg.dunits // 2):
+        got = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
+                                     zoneout=cfg.zoneout_rate, dropout=0.0,
+                                     weights_dtype=jnp.int8,
+                                     chunk_rows=chunk_rows)
+        got = got * np.asarray(frame_mask)[..., None]
+        err = np.abs(np.asarray(got) - np.asarray(want)).max()
+        scale = np.abs(np.asarray(want)).max()
+        assert err < 0.05 * scale + 1e-3, (chunk_rows, err, scale)
+
+
 def test_synthesize_pallas_hbm_backend(monkeypatch):
     """End-to-end synthesize routing through the weight-streaming kernel
     (decoder_backend='pallas_hbm', interpret mode): output must match the
@@ -153,6 +213,21 @@ def test_synthesize_pallas_hbm_backend(monkeypatch):
     # bound): tolerance is bf16 weight-rounding, not fp32-exact
     np.testing.assert_allclose(np.asarray(got["mel"]),
                                np.asarray(want["mel"]), atol=2e-3)
+
+    # int8-quantized streaming: same shapes/olens, bounded mel error
+    got8 = model.synthesize(params, state, tokens, ilens,
+                            decoder_backend="pallas_hbm",
+                            quantize="int8", **kw)
+    np.testing.assert_array_equal(np.asarray(want["olens"]),
+                                  np.asarray(got8["olens"]))
+    err = np.abs(np.asarray(got8["mel"]) - np.asarray(want["mel"])).max()
+    scale = np.abs(np.asarray(want["mel"])).max()
+    assert err < 0.05 * scale + 1e-3, (err, scale)
+
+    with pytest.raises(ValueError, match="quantize"):
+        model.synthesize(params, state, tokens, ilens,
+                         decoder_backend="pallas_hbm",
+                         quantize="int4", **kw)
 
     bad = tiny_config(dunits=20)  # not chunkable: dunits % 256 != 0
     bad_model = Tacotron2SA(bad)
