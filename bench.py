@@ -158,7 +158,7 @@ def torch_cpu_baseline():
     return frames / dt, frames
 
 
-def jax_tpu_run(ragged_decode=True):
+def jax_tpu_run(ragged_decode=True, quantize="none"):
     import jax
     import jax.numpy as jnp
     from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
@@ -180,7 +180,8 @@ def jax_tpu_run(ragged_decode=True):
         return model.synthesize(params, state, tokens, ilens, key,
                                 frame_budget=FRAME_BUDGET,
                                 durations=durations,
-                                ragged_decode=ragged_decode)
+                                ragged_decode=ragged_decode,
+                                quantize=quantize)
 
     # N_TIMED back-to-back decodes inside ONE jit: measures on-device
     # batch-1 decode throughput without the test harness's per-call
@@ -192,7 +193,8 @@ def jax_tpu_run(ragged_decode=True):
                                    jax.random.fold_in(key, i),
                                    frame_budget=FRAME_BUDGET,
                                    durations=durations,
-                                   ragged_decode=ragged_decode)
+                                   ragged_decode=ragged_decode,
+                                   quantize=quantize)
             return out["mel"], out["olens"]
 
         return jax.lax.fori_loop(0, N_TIMED, body,
@@ -500,7 +502,13 @@ def main():
         fps_c, _, _ = jax_tpu_run(ragged_decode=False)
         return {"batch1_synth_capped_frames_per_sec": round(fps_c, 1)}
 
-    for runner in (capped_batch1_run, train_step_run,
+    def int8_batch1_run():
+        # int8 weight-only streaming decode (teacher batch-1 rides the
+        # HBM weight-streaming kernel; int8 halves its DMA bytes)
+        fps_q, _, _ = jax_tpu_run(quantize="int8")
+        return {"batch1_synth_int8_frames_per_sec": round(fps_q, 1)}
+
+    for runner in (capped_batch1_run, int8_batch1_run, train_step_run,
                    train_step_single_class_run,
                    batched_synth_run, student_batch1_run, e2e_tts_run):
         try:
