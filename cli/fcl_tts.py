@@ -39,6 +39,10 @@ def get_parser():
                         "(time-to-first-audio ~90 ms, "
                         "results/STREAM_tts.json) instead of batched "
                         "whole-utterance jit")
+    p.add_argument("--quantize", choices=("none", "int8"), default="none",
+                   help="int8: weight-only quantized streaming decode "
+                        "(halves the weight-streaming decoder kernel's "
+                        "DMA bytes; --stream path)")
     return p
 
 
@@ -87,7 +91,8 @@ def main(argv=None):
 
         from fcl_taco2_tpu.infer.stream import StreamTTS
 
-        st = StreamTTS(model, params, state, pwg_params, pwg_cfg)
+        st = StreamTTS(model, params, state, pwg_params, pwg_cfg,
+                       quantize=args.quantize)
         ttfas, rtfs = [], []
         for u in utts:
             rng, sub = jax.random.split(rng)

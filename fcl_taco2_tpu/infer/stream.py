@@ -73,7 +73,8 @@ class StreamTTS:
                  tile: int = 1024, interpret: Optional[bool] = None,
                  budget_round: int = 256,
                  decoder_backend: str = "auto",
-                 readback_depth: int = 1):
+                 readback_depth: int = 1,
+                 quantize: str = "none"):
         self.model = model
         self.cfg = model.cfg
         self.params = params
@@ -101,6 +102,10 @@ class StreamTTS:
             interpret = jax.default_backend() != "tpu"
         self.interpret = bool(interpret)
         self.decoder_backend = decoder_backend
+        # int8 weight-only streaming decode: the phoneme chunks are a
+        # single kernel tile, exactly where the weight-streaming kernel's
+        # DMA bound dominates — int8 halves it (Tacotron2SA.synthesize)
+        self.quantize = quantize
         self.budget_round = int(budget_round)
         # wav chunks whose D2H readback may lag their dispatch; adds
         # depth*Vh/sr of buffering latency after the FIRST chunk, hides
@@ -161,7 +166,7 @@ class StreamTTS:
             params, state, enc_seg, dur, position.astype(dtype), mask,
             key, decoder_backend=self.decoder_backend,
             tile_bounds=tile_step_bounds(dur),
-            step_bound=dur.max())
+            step_bound=dur.max(), quantize=self.quantize)
         D = mask.shape[1]
         frame_pos = seg_start[:, None] + jnp.arange(D, dtype=jnp.int32)
         Lbuf = mel_buf.shape[0] - 1

@@ -95,6 +95,24 @@ def main():
         out[name]["n_frames"] = int(dur.sum())
         print(name, out[name], flush=True)
 
+    # teacher streaming: each phoneme chunk is a single kernel tile, so
+    # the decode rides the HBM weight-streaming kernel — the path int8
+    # weight-only quantization accelerates (half the DMA bytes/step)
+    from fcl_taco2_tpu.models.config import teacher_config
+    tcfg = teacher_config(idim=IDIM, odim=ODIM, compute_dtype="bfloat16")
+    tmodel = Tacotron2SA(tcfg)
+    tparams, tstate = jax.jit(tmodel.init)(jax.random.PRNGKey(2))
+    t_tokens = rng.integers(1, IDIM, 64).astype(np.int32)
+    t_dur = np.clip(rng.poisson(5.0, 64), 1, tcfg.max_dur).astype(np.int32)
+    for name, q in (("teacher_utt_64ph", "none"),
+                    ("teacher_utt_64ph_int8", "int8")):
+        stt = StreamTTS(tmodel, tparams, tstate, pwg, pwg_cfg, quantize=q)
+        stt.tts(t_tokens, jax.random.PRNGKey(42), durations=t_dur)
+        out[name] = measure(stt, t_tokens, t_dur, jax.random.PRNGKey(7))
+        out[name]["n_phones"] = 64
+        out[name]["n_frames"] = int(t_dur.sum())
+        print(name, out[name], flush=True)
+
     path = os.path.join(os.path.dirname(__file__), "..", "results",
                         "STREAM_tts.json")
     with open(path, "w") as f:

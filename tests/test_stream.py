@@ -112,6 +112,62 @@ def test_stream_matches_oneshot_pipeline():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_stream_int8_matches_oneshot_int8(monkeypatch):
+    """StreamTTS with int8 weight-only quantized decode (pallas_hbm,
+    interpret mode) == whole-utterance synthesize with the SAME
+    quantization + full conv vocoder: the streaming machinery must stay
+    exact under quantization (both paths see identical dequantized
+    weights, so the tolerance is fp reassociation, not quantization)."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dunits=256, dropout_rate=0.0, zoneout_rate=0.0)
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    pwg_cfg = small_pwg(cfg.odim)
+    pwg_params = pwg_init(jax.random.PRNGKey(3), pwg_cfg)
+    st = StreamTTS(model, params, state, pwg_params, pwg_cfg,
+                   chunk_phonemes=3, postnet_chunk=4, vocode_frames=4,
+                   tile=8, interpret=True, budget_round=16,
+                   decoder_backend="pallas_hbm", quantize="int8")
+
+    tokens = np.array([3, 1, 7, 2, 9, 4], np.int32)
+    dur = np.array([3, 2, 5, 1, 4, 2], np.int32)
+    T = tokens.shape[0]
+    F = int(dur.sum())
+    Wtot = F * pwg_cfg.hop
+    noise = np.random.default_rng(7).normal(size=(Wtot,)).astype(
+        np.float32)
+
+    tok_pad = np.zeros((1, 8), np.int32)
+    tok_pad[0, :T] = tokens
+    dur_pad = np.zeros((1, 8), np.int32)
+    dur_pad[0, :T] = dur
+    out = model.synthesize(params, state, jnp.asarray(tok_pad),
+                           jnp.asarray([T], jnp.int32),
+                           jax.random.PRNGKey(5), frame_budget=32,
+                           durations=jnp.asarray(dur_pad),
+                           decoder_backend="pallas_hbm", quantize="int8")
+    assert int(out["olens"][0]) == F
+    mel = np.asarray(out["mel"])[0, :F]
+    want = np.asarray(pwg_generate(pwg_params, pwg_cfg, mel[None],
+                                   jnp.asarray(noise[None])))[0]
+
+    chunks = list(st.stream(tokens, jax.random.PRNGKey(5),
+                            durations=dur, noise=noise))
+    got = np.concatenate(chunks)
+    assert got.shape == (Wtot,)
+    np.testing.assert_allclose(got, want, atol=2e-5)
+
+
 def test_stream_predicted_durations_smoke():
     """Predicted-duration path: stream emits sum(d_outs)*hop finite
     samples; prenet dropout active (stochastic inference like the
