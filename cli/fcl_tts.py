@@ -40,9 +40,10 @@ def get_parser():
                         "results/STREAM_tts.json) instead of batched "
                         "whole-utterance jit")
     p.add_argument("--quantize", choices=("none", "int8"), default="none",
-                   help="int8: weight-only quantized streaming decode "
-                        "(halves the weight-streaming decoder kernel's "
-                        "DMA bytes; --stream path)")
+                   help="int8: weight-only quantized decode (halves the "
+                        "weight-streaming decoder kernel's DMA bytes; "
+                        "effective where that kernel applies — teacher-"
+                        "size models on single-tile phoneme batches)")
     return p
 
 
@@ -117,7 +118,8 @@ def main(argv=None):
         return
 
     pipe = TTSPipeline(model, params, state, pwg_params, pwg_cfg,
-                       sample_rate=args.sample_rate)
+                       sample_rate=args.sample_rate,
+                       quantize=args.quantize)
     rtfs = []
     for i in range(0, len(utts), args.batch_size):
         chunk = utts[i:i + args.batch_size]

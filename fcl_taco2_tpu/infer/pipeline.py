@@ -35,10 +35,13 @@ def pwg_receptive_field(cfg: PWGConfig):
 class TTSPipeline:
     def __init__(self, model: Tacotron2SA, params, state, pwg_params,
                  pwg_cfg: Optional[PWGConfig] = None, sample_rate=22050,
-                 pwg_dtype="bfloat16"):
+                 pwg_dtype="bfloat16", quantize="none"):
         self.model = model
         self.pwg_cfg = pwg_cfg or PWGConfig()
         self.pwg_dtype = jnp.dtype(pwg_dtype)
+        # int8 weight-only quantized decode (Tacotron2SA.synthesize);
+        # effective where the decode rides the weight-streaming kernel
+        self.quantize = quantize
         from fcl_taco2_tpu.utils.device import device_put_via_jit as put
         self.params = put(params)
         self.state = put(state)
@@ -56,7 +59,8 @@ class TTSPipeline:
             def fn(params, state, pwg_params, tokens, ilens, key):
                 k1, k2 = jax.random.split(key)
                 out = self.model.synthesize(params, state, tokens, ilens,
-                                            k1, frame_budget=budget)
+                                            k1, frame_budget=budget,
+                                            quantize=self.quantize)
                 dt = self.pwg_dtype
                 pwg_p = jax.tree_util.tree_map(
                     lambda x: x.astype(dt), pwg_params)

@@ -111,6 +111,9 @@ def main():
         out[name] = measure(stt, t_tokens, t_dur, jax.random.PRNGKey(7))
         out[name]["n_phones"] = 64
         out[name]["n_frames"] = int(t_dur.sum())
+        # the top-level config block describes the STUDENT runs
+        out[name]["model"] = ("teacher-1024 bf16 (HBM weight-streaming "
+                              f"decode kernel), quantize={q}")
         print(name, out[name], flush=True)
 
     path = os.path.join(os.path.dirname(__file__), "..", "results",

@@ -65,8 +65,9 @@ def test_stateful_kernel_chaining_matches_oneshot():
     np.testing.assert_array_equal(got, want)
 
 
-def _setup_stream(dropout=0.0, **kw):
-    cfg = tiny_config(dropout_rate=dropout, zoneout_rate=0.0)
+def _setup_stream(dropout=0.0, cfg_kw=None, **kw):
+    cfg = tiny_config(dropout_rate=dropout, zoneout_rate=0.0,
+                      **(cfg_kw or {}))
     model = Tacotron2SA(cfg)
     params, state = model.init(jax.random.PRNGKey(0))
     pwg_cfg = small_pwg(cfg.odim)
@@ -129,15 +130,9 @@ def test_stream_int8_matches_oneshot_int8(monkeypatch):
 
     monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
 
-    cfg = tiny_config(dunits=256, dropout_rate=0.0, zoneout_rate=0.0)
-    model = Tacotron2SA(cfg)
-    params, state = model.init(jax.random.PRNGKey(0))
-    pwg_cfg = small_pwg(cfg.odim)
-    pwg_params = pwg_init(jax.random.PRNGKey(3), pwg_cfg)
-    st = StreamTTS(model, params, state, pwg_params, pwg_cfg,
-                   chunk_phonemes=3, postnet_chunk=4, vocode_frames=4,
-                   tile=8, interpret=True, budget_round=16,
-                   decoder_backend="pallas_hbm", quantize="int8")
+    cfg, model, params, state, pwg_cfg, pwg_params, st = _setup_stream(
+        cfg_kw={"dunits": 256}, decoder_backend="pallas_hbm",
+        quantize="int8")
 
     tokens = np.array([3, 1, 7, 2, 9, 4], np.int32)
     dur = np.array([3, 2, 5, 1, 4, 2], np.int32)
