@@ -122,19 +122,24 @@ def test_hbm_kernel_bounds_interpret(monkeypatch):
     enc_seg, frame_mask, position = _seg_inputs(cfg, dur)
     mask = np.asarray(frame_mask)[..., None]
 
-    for chunk_rows in (cfg.dunits, cfg.dunits // 2):
-        full = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
-                                      zoneout=cfg.zoneout_rate, dropout=0.0,
-                                      weights_dtype=jnp.float32,
-                                      chunk_rows=chunk_rows)
-        bounds = jnp.asarray([int(dur.max())], jnp.int32)
-        got = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
-                                     zoneout=cfg.zoneout_rate, dropout=0.0,
-                                     weights_dtype=jnp.float32,
-                                     chunk_rows=chunk_rows, bounds=bounds)
-        np.testing.assert_allclose(np.asarray(got) * mask,
-                                   np.asarray(full) * mask, atol=1e-6,
-                                   err_msg=f"chunk_rows={chunk_rows}")
+    # int8 included: quantization must not perturb the bounded/unbounded
+    # equivalence (same codes both calls — the DMA schedule is what's
+    # under test)
+    for wdt in (jnp.float32, jnp.int8):
+        for chunk_rows in (cfg.dunits, cfg.dunits // 2):
+            full = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
+                                          zoneout=cfg.zoneout_rate,
+                                          dropout=0.0, weights_dtype=wdt,
+                                          chunk_rows=chunk_rows)
+            bounds = jnp.asarray([int(dur.max())], jnp.int32)
+            got = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
+                                         zoneout=cfg.zoneout_rate,
+                                         dropout=0.0, weights_dtype=wdt,
+                                         chunk_rows=chunk_rows,
+                                         bounds=bounds)
+            np.testing.assert_allclose(
+                np.asarray(got) * mask, np.asarray(full) * mask,
+                atol=1e-6, err_msg=f"wdt={wdt} chunk_rows={chunk_rows}")
 
 
 def test_fused_kernel_multi_tile_distinct_bounds(monkeypatch):
