@@ -340,6 +340,9 @@ def train_step_single_class_run():
 def batched_synth_run():
     """Batched serving throughput: B=16 utterances decoded in one jitted
     call (an improvement over the reference's batch-1 loop, tts.py:655-674).
+    Also measures decoder_backend='hybrid' (head tile on the weight-
+    streaming kernel, rest on a residual-bounded scan) — the candidate
+    replacement for the multi-tile scan in auto mode once measured.
     """
     import jax
     import jax.numpy as jnp
@@ -357,26 +360,40 @@ def batched_synth_run():
     ilens = np.full(B, N_PHONES, np.int32)
 
     n = 10
-
-    @jax.jit
-    def synth_loop(params, state, tokens, ilens, durations, key):
-        def body(i, c):
-            out = model.synthesize(params, state, tokens, ilens,
-                                   jax.random.fold_in(key, i),
-                                   frame_budget=FRAME_BUDGET,
-                                   durations=durations)
-            return out["mel"][0, :1, 0]
-
-        return jax.lax.fori_loop(0, n, body, jnp.zeros(1))
-
+    out = {}
+    frames = int(dur.sum())
     args = (params, state, jnp.asarray(tokens), jnp.asarray(ilens),
             jnp.asarray(dur))
-    np.asarray(synth_loop(*args, jax.random.PRNGKey(1)))
-    reps = iter(range(100))
-    dt = _device_time(
-        lambda: synth_loop(*args, jax.random.PRNGKey(next(reps))), n)
-    frames = int(dur.sum())
-    return {"batch16_synth_frames_per_sec": round(frames / dt, 1)}
+    for tag, backend in (("batch16_synth_frames_per_sec", "auto"),
+                         ("batch16_synth_hybrid_frames_per_sec", "hybrid"),
+                         ("batch16_synth_hybrid_int8_frames_per_sec",
+                          "hybrid+int8")):
+        backend, _, q = backend.partition("+")
+        quantize = q or "none"
+
+        @jax.jit
+        def synth_loop(params, state, tokens, ilens, durations, key):
+            def body(i, c):
+                o = model.synthesize(params, state, tokens, ilens,
+                                     jax.random.fold_in(key, i),
+                                     frame_budget=FRAME_BUDGET,
+                                     durations=durations,
+                                     decoder_backend=backend,
+                                     quantize=quantize)
+                return o["mel"][0, :1, 0]
+
+            return jax.lax.fori_loop(0, n, body, jnp.zeros(1))
+
+        try:
+            np.asarray(synth_loop(*args, jax.random.PRNGKey(1)))
+            reps = iter(range(100))
+            dt = _device_time(
+                lambda: synth_loop(*args, jax.random.PRNGKey(next(reps))),
+                n)
+            out[tag] = round(frames / dt, 1)
+        except Exception as exc:
+            out[f"{tag}_error"] = repr(exc)
+    return out
 
 
 def student_batch1_run():

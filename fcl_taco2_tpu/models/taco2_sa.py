@@ -469,6 +469,12 @@ class Tacotron2SA:
         int32) optionally cap the AR trip counts by actual durations
         (see ``synthesize`` ragged_decode): the Pallas kernels take the
         per-tile bounds, the XLA scan the global bound.
+
+        ``decoder_backend``: "auto" | "scan" | "pallas" (VMEM-resident
+        kernel) | "pallas_hbm" (weight-streaming kernel) | "hybrid"
+        (multi-tile teacher batches: head tile on the weight-streaming
+        kernel, rest on one residual-bounded scan; requires
+        ragged_decode).
         """
         cfg = self.cfg
         dtype = jnp.dtype(cfg.compute_dtype)
@@ -501,6 +507,7 @@ class Tacotron2SA:
                                                       hbm_stream_compatible)
         hbm_ok = (hbm_stream_compatible(cfg) and kernel_wdt is None
                   and P <= TILE)
+        use_hybrid = False
         if decoder_backend == "auto":
             on_tpu = jax.default_backend() == "tpu"
             use_pallas = on_tpu and pallas_compatible and \
@@ -514,6 +521,31 @@ class Tacotron2SA:
                     "decoder_backend='pallas_hbm' requires prenet_layers=2, "
                     "append_position, use_concate, dlayers=2, "
                     "reduction_factor=1 and dunits % 256 == 0")
+        elif decoder_backend == "hybrid":
+            # duration-sorted hybrid for teacher-size MULTI-TILE batches:
+            # tile 0 holds the whole long-duration tail (synthesize sorts
+            # segments descending), so it rides the weight-streaming
+            # kernel at its own bound while the remaining rows run ONE
+            # XLA scan at the much smaller residual bound (the 129th-
+            # largest duration; mean dur ~8 vs the ~50-frame tail).
+            # Explicit opt-in until the TPU refresh measures it
+            # (bench.py batch16_synth_hybrid row).
+            use_pallas = False
+            use_hbm = False
+            use_hybrid = True
+            if not hbm_stream_compatible(cfg):
+                raise ValueError(
+                    "decoder_backend='hybrid' requires the pallas_hbm-"
+                    "compatible topology (prenet_layers=2, "
+                    "append_position, use_concate, dlayers=2, "
+                    "reduction_factor=1, dunits % 256 == 0)")
+            if tile_bounds is None:
+                raise ValueError(
+                    "decoder_backend='hybrid' requires ragged_decode "
+                    "(duration-sorted segments with per-tile bounds)")
+            if P <= TILE:
+                use_hybrid = False
+                use_hbm = True  # single tile: plain weight-streaming path
         else:
             use_hbm = False
             use_pallas = decoder_backend == "pallas"
@@ -554,6 +586,29 @@ class Tacotron2SA:
                 weights_dtype=stream_wdt, bounds=tile_bounds)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
+        elif use_hybrid:
+            # head tile through the weight-streaming kernel (it holds the
+            # long tail after the descending sort), remaining rows through
+            # one ragged scan at the residual bound — the scan re-reads
+            # every weight per step, so cutting its trip count from the
+            # global max (~cap) to the 129th-largest duration is the win;
+            # the kernel re-streams weights per tile, so ONLY tile 0 rides
+            # it (multi-tile kernel loses to the scan, measured 0.76x at
+            # P=512, results/PALLAS_decoder.json)
+            from fcl_taco2_tpu.ops.decoder_pallas import fused_ar_decode_hbm
+            seed = jax.random.randint(k_dec, (), 0, 2 ** 31 - 1)
+            stream_wdt = jnp.int8 if quantize == "int8" else jnp.bfloat16
+            head = fused_ar_decode_hbm(
+                params["decoder"], enc_seg[:TILE], position[:TILE], seed,
+                zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
+                weights_dtype=stream_wdt, bounds=tile_bounds[:1])
+            head = head.astype(dtype) \
+                * frame_mask[:TILE, :, None].astype(dtype)
+            rest = decoder_inference(
+                params["decoder"], state["decoder"], cfg, enc_seg[TILE:],
+                flat_dur[TILE:], position[TILE:], frame_mask[TILE:],
+                k_dec, step_bound=jnp.max(tile_bounds[1:]))
+            seg_out = jnp.concatenate([head, rest.astype(dtype)], axis=0)
         else:
             seg_out = decoder_inference(params["decoder"], state["decoder"],
                                         cfg, enc_seg, flat_dur, position,

@@ -274,3 +274,74 @@ def test_synthesize_ragged_jits_once():
     assert calls == 1  # traced once; d_factor is a traced argument
     assert np.isfinite(np.asarray(a)).all()
     assert np.isfinite(np.asarray(b)).all()
+
+
+def test_synthesize_hybrid_backend(monkeypatch):
+    """Multi-tile hybrid (head tile on the weight-streaming kernel, rest
+    on a residual-bounded scan; interpret mode): must match the scan
+    backend to bf16-weight tolerance, reject non-ragged calls, and fall
+    back to the plain weight-streaming path at P <= TILE."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dunits=256, dropout_rate=0.0, zoneout_rate=0.0)
+    model = Tacotron2SA(cfg)
+    params, state = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    B, Tmax = 2, 70  # P = 140 > TILE=128: head tile + 12 scan rows
+    assert B * Tmax > dp.TILE
+    tokens = np.zeros((B, Tmax), np.int32)
+    dur = np.zeros((B, Tmax), np.int32)
+    ilens = np.array([Tmax, Tmax - 5], np.int32)
+    for b in range(B):
+        tokens[b, :ilens[b]] = rng.integers(1, cfg.idim, ilens[b])
+        dur[b, :ilens[b]] = rng.integers(0, cfg.max_dur + 1, ilens[b])
+    kw = dict(frame_budget=256, rng=jax.random.PRNGKey(1),
+              durations=jnp.asarray(dur))
+    tokens, ilens = jnp.asarray(tokens), jnp.asarray(ilens)
+
+    want = model.synthesize(params, state, tokens, ilens,
+                            decoder_backend="scan", **kw)
+    got = model.synthesize(params, state, tokens, ilens,
+                           decoder_backend="hybrid", **kw)
+    np.testing.assert_array_equal(np.asarray(want["olens"]),
+                                  np.asarray(got["olens"]))
+    # head tile runs bf16 kernel weights, rest runs the fp32 scan
+    np.testing.assert_allclose(np.asarray(got["mel"]),
+                               np.asarray(want["mel"]), atol=2e-3)
+    # padding stays exact zero
+    for b in range(B):
+        olen = int(np.asarray(got["olens"])[b])
+        assert np.abs(np.asarray(got["mel"])[b, olen:]).max() == 0.0
+
+    # int8 variant: same shapes, bounded error
+    got8 = model.synthesize(params, state, tokens, ilens,
+                            decoder_backend="hybrid", quantize="int8",
+                            **kw)
+    err = np.abs(np.asarray(got8["mel"]) - np.asarray(want["mel"])).max()
+    scale = np.abs(np.asarray(want["mel"])).max()
+    assert err < 0.05 * scale + 1e-3, (err, scale)
+
+    # hybrid requires the duration-sorted ragged layout
+    with pytest.raises(ValueError, match="ragged"):
+        model.synthesize(params, state, tokens, ilens,
+                         decoder_backend="hybrid", ragged_decode=False,
+                         **kw)
+
+    # P <= TILE falls back to the plain weight-streaming kernel
+    small_tok = tokens[:1, :8]
+    small_dur = jnp.asarray(np.asarray(dur)[:1, :8])
+    small = model.synthesize(params, state, small_tok,
+                             jnp.asarray([8], jnp.int32),
+                             jax.random.PRNGKey(1), frame_budget=64,
+                             durations=small_dur,
+                             decoder_backend="hybrid")
+    assert np.isfinite(np.asarray(small["mel"])).all()
