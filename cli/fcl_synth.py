@@ -47,6 +47,13 @@ def get_parser():
                    help="int8: stream the weight-streaming Pallas "
                         "decoder's big matrices as per-column int8 (half "
                         "the DMA bytes; weight-only, ~1e-2 rel mel error)")
+    p.add_argument("--decoder-backend", default="auto",
+                   choices=("auto", "scan", "pallas", "pallas_hbm",
+                            "hybrid"),
+                   help="AR decode backend (Tacotron2SA.decode_segments); "
+                        "'hybrid' = head tile on the weight-streaming "
+                        "kernel + residual-bounded scan for the rest "
+                        "(teacher-size multi-tile batches)")
     return p
 
 
@@ -78,7 +85,8 @@ def main(argv=None):
     synth = Synthesizer(model, params, state, batch_size=args.batch_size,
                         frame_per_token=args.frame_per_token, mesh=mesh,
                         ragged_decode=not args.no_ragged_decode,
-                        quantize=args.quantize)
+                        quantize=args.quantize,
+                        decoder_backend=args.decoder_backend)
     mean_fps = synth.synth_manifest(
         utts, args.out, write_ark=not args.no_ark,
         rng=jax.random.PRNGKey(args.seed),

@@ -30,7 +30,8 @@ def _round_up(x, mult):
 class Synthesizer:
     def __init__(self, model: Tacotron2SA, params, state, batch_size=8,
                  tok_bucket=32, frame_per_token=16, frame_bucket=256,
-                 mesh=None, ragged_decode=True, quantize="none"):
+                 mesh=None, ragged_decode=True, quantize="none",
+                 decoder_backend="auto"):
         """``mesh``: optional jax Mesh for multi-chip serving — params are
         replicated, the utterance axis is sharded over all mesh axes (the
         phoneme-segment axis inside synthesize shards with it: segments
@@ -40,11 +41,14 @@ class Synthesizer:
         (Tacotron2SA.synthesize); off = legacy max_dur-capped loops.
         ``quantize``: "none" | "int8" — int8 weight-only quantization of
         the weight-streaming Pallas decoder's streamed matrices (halves
-        its DMA bytes; see Tacotron2SA.synthesize)."""
+        its DMA bytes; see Tacotron2SA.synthesize).
+        ``decoder_backend``: forwarded to Tacotron2SA.decode_segments
+        ("auto" | "scan" | "pallas" | "pallas_hbm" | "hybrid")."""
         self.model = model
         self.mesh = mesh
         self.ragged_decode = bool(ragged_decode)
         self.quantize = quantize
+        self.decoder_backend = decoder_backend
         if mesh is not None and batch_size % mesh.devices.size:
             raise ValueError(f"batch_size {batch_size} not divisible by "
                              f"mesh size {mesh.devices.size}")
@@ -93,7 +97,8 @@ class Synthesizer:
                         durations=durations if use_dur else None,
                         d_factor=d_factor,
                         ragged_decode=self.ragged_decode,
-                        quantize=self.quantize)
+                        quantize=self.quantize,
+                        decoder_backend=self.decoder_backend)
                 return core
 
             if self.mesh is not None and self.mesh.devices.size > 1:
