@@ -40,8 +40,19 @@ class TTSPipeline:
         self.pwg_cfg = pwg_cfg or PWGConfig()
         self.pwg_dtype = jnp.dtype(pwg_dtype)
         # int8 weight-only quantized decode (Tacotron2SA.synthesize);
-        # effective where the decode rides the weight-streaming kernel
+        # effective where the decode rides the weight-streaming kernel.
+        # Codes prepared once — the inline path re-reads ~50 MB/call.
         self.quantize = quantize
+        self.prequant = None
+        if quantize == "int8":
+            from fcl_taco2_tpu.ops.decoder_pallas import (
+                hbm_stream_compatible, prequantize_hbm_weights)
+            if hbm_stream_compatible(model.cfg):
+                import functools
+                dt = jnp.dtype(model.cfg.compute_dtype)
+                self.prequant = jax.jit(functools.partial(
+                    prequantize_hbm_weights, compute_dtype=dt))(
+                        params["decoder"])
         from fcl_taco2_tpu.utils.device import device_put_via_jit as put
         self.params = put(params)
         self.state = put(state)
@@ -60,7 +71,8 @@ class TTSPipeline:
                 k1, k2 = jax.random.split(key)
                 out = self.model.synthesize(params, state, tokens, ilens,
                                             k1, frame_budget=budget,
-                                            quantize=self.quantize)
+                                            quantize=self.quantize,
+                                            prequant=self.prequant)
                 dt = self.pwg_dtype
                 pwg_p = jax.tree_util.tree_map(
                     lambda x: x.astype(dt), pwg_params)

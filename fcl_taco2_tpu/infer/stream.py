@@ -104,8 +104,20 @@ class StreamTTS:
         self.decoder_backend = decoder_backend
         # int8 weight-only streaming decode: the phoneme chunks are a
         # single kernel tile, exactly where the weight-streaming kernel's
-        # DMA bound dominates — int8 halves it (Tacotron2SA.synthesize)
+        # DMA bound dominates — int8 halves it (Tacotron2SA.synthesize).
+        # Codes are prepared ONCE: inline quantization would re-read
+        # ~50 MB of weights on EVERY chunk, rivaling the chunk decode.
         self.quantize = quantize
+        self.prequant = None
+        if quantize == "int8":
+            from fcl_taco2_tpu.ops.decoder_pallas import (
+                hbm_stream_compatible, prequantize_hbm_weights)
+            if hbm_stream_compatible(model.cfg):
+                import functools
+                dt = jnp.dtype(model.cfg.compute_dtype)
+                self.prequant = jax.jit(functools.partial(
+                    prequantize_hbm_weights, compute_dtype=dt))(
+                        params["decoder"])
         self.budget_round = int(budget_round)
         # wav chunks whose D2H readback may lag their dispatch; adds
         # depth*Vh/sr of buffering latency after the FIRST chunk, hides
@@ -166,7 +178,8 @@ class StreamTTS:
             params, state, enc_seg, dur, position.astype(dtype), mask,
             key, decoder_backend=self.decoder_backend,
             tile_bounds=tile_step_bounds(dur),
-            step_bound=dur.max(), quantize=self.quantize)
+            step_bound=dur.max(), quantize=self.quantize,
+            prequant=self.prequant)
         D = mask.shape[1]
         frame_pos = seg_start[:, None] + jnp.arange(D, dtype=jnp.int32)
         Lbuf = mel_buf.shape[0] - 1

@@ -69,6 +69,18 @@ class Synthesizer:
             self.state = jax.device_put(state, rep)
         from fcl_taco2_tpu.utils.device import warmup_transfers
         warmup_transfers()  # absorb the one-time D2H link init here
+        # one-time int8 codes: the inline path re-reads ~50 MB of weights
+        # inside EVERY jitted call (loop-invariant only within one call)
+        self.prequant = None
+        if quantize == "int8":
+            from fcl_taco2_tpu.ops.decoder_pallas import (
+                hbm_stream_compatible, prequantize_hbm_weights)
+            if hbm_stream_compatible(model.cfg):
+                import functools
+                dt = jnp.dtype(model.cfg.compute_dtype)
+                self.prequant = jax.jit(functools.partial(
+                    prequantize_hbm_weights, compute_dtype=dt))(
+                        self.params["decoder"])
         self.batch_size = batch_size
         self.tok_bucket = tok_bucket
         self.frame_per_token = frame_per_token
@@ -98,7 +110,8 @@ class Synthesizer:
                         d_factor=d_factor,
                         ragged_decode=self.ragged_decode,
                         quantize=self.quantize,
-                        decoder_backend=self.decoder_backend)
+                        decoder_backend=self.decoder_backend,
+                        prequant=self.prequant)
                 return core
 
             if self.mesh is not None and self.mesh.devices.size > 1:

@@ -346,7 +346,8 @@ class Tacotron2SA:
                    frame_budget: int,
                    durations=None, f0=None, energy=None, spembs=None,
                    d_factor: float = 1.0, decoder_backend: str = "auto",
-                   ragged_decode: bool = True, quantize: str = "none"):
+                   ragged_decode: bool = True, quantize: str = "none",
+                   prequant=None):
         """Batched device-only synthesis.
 
         Args:
@@ -375,6 +376,10 @@ class Tacotron2SA:
                 ~1e-2 relative mel error).  Only affects the pallas_hbm
                 path — VMEM-resident and scan decodes ignore it (their
                 weights are not re-read per step from HBM).
+            prequant: optional (wbig_q, scales) from
+                ops.decoder_pallas.prequantize_hbm_weights — serving
+                wrappers pass precomputed int8 codes so every jitted
+                call skips the ~50 MB inline quantization read.
 
         Returns dict(mel=(B, frame_budget, odim), olens=(B,), d_outs, ...).
 
@@ -433,7 +438,8 @@ class Tacotron2SA:
                                        decoder_backend=decoder_backend,
                                        tile_bounds=tile_bounds,
                                        step_bound=step_bound,
-                                       quantize=quantize)
+                                       quantize=quantize,
+                                       prequant=prequant)
 
         # scatter phoneme frames into per-utterance timelines; frames past
         # the budget or past each phoneme's duration go to a drop slot
@@ -457,7 +463,7 @@ class Tacotron2SA:
     def decode_segments(self, params, state, enc_seg, flat_dur, position,
                         frame_mask, k_dec, decoder_backend: str = "auto",
                         tile_bounds=None, step_bound=None,
-                        quantize: str = "none"):
+                        quantize: str = "none", prequant=None):
         """AR-decode a batch of phoneme segments -> (P, max_dur, odim).
 
         The backend dispatch half of ``synthesize`` — shared by
@@ -583,7 +589,8 @@ class Tacotron2SA:
             seg_out = fused_ar_decode_hbm(
                 params["decoder"], enc_seg, position, seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
-                weights_dtype=stream_wdt, bounds=tile_bounds)
+                weights_dtype=stream_wdt, bounds=tile_bounds,
+                prequant=prequant)
             seg_out = seg_out.astype(dtype) \
                 * frame_mask[..., None].astype(dtype)
         elif use_hybrid:
@@ -601,7 +608,8 @@ class Tacotron2SA:
             head = fused_ar_decode_hbm(
                 params["decoder"], enc_seg[:TILE], position[:TILE], seed,
                 zoneout=cfg.zoneout_rate, dropout=cfg.dropout_rate,
-                weights_dtype=stream_wdt, bounds=tile_bounds[:1])
+                weights_dtype=stream_wdt, bounds=tile_bounds[:1],
+                prequant=prequant)
             head = head.astype(dtype) \
                 * frame_mask[:TILE, :, None].astype(dtype)
             rest = decoder_inference(

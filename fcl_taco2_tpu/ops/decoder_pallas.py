@@ -295,6 +295,23 @@ def quantize_per_column(w):
     return q.astype(jnp.int8), s
 
 
+def prequantize_hbm_weights(dec_params, compute_dtype=jnp.float32):
+    """One-time int8 prep for ``fused_ar_decode_hbm(prequant=...)``:
+    returns ``(wbig_q (3H, 4H) int8, scales (3, 4H) fp32)`` for the three
+    streamed matrices.  Weights are cast to ``compute_dtype`` FIRST —
+    synthesize casts params before the kernel quantizes, so these are
+    bit-identical to the codes the inline path derives.  Serving wrappers
+    (Synthesizer / StreamTTS / TTSPipeline) call this once at init: the
+    inline quantize re-reads ~50 MB of weights inside EVERY jitted call
+    (every chunk for StreamTTS), which rivals the decode itself at
+    batch-1/chunk scale."""
+    big = [dec_params["lstm0"]["wh"], dec_params["lstm1"]["wx"],
+           dec_params["lstm1"]["wh"]]
+    qs = [quantize_per_column(w.astype(compute_dtype)) for w in big]
+    return (jnp.concatenate([q for q, _ in qs], axis=0),
+            jnp.stack([s for _, s in qs]))
+
+
 def hbm_stream_compatible(cfg):
     """Config gate for fused_ar_decode_hbm: reference topology + chunkable
     recurrent width."""
@@ -308,7 +325,7 @@ def hbm_stream_compatible(cfg):
                                     "chunk_rows"))
 def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
                         dropout=0.5, weights_dtype=jnp.bfloat16,
-                        chunk_rows=256, bounds=None):
+                        chunk_rows=256, bounds=None, prequant=None):
     """AR decoder loop for models whose weights do NOT fit VMEM (the
     teacher: ~31 MB bf16 vs ~16 MB VMEM): the three big recurrent
     matrices (wh0, wx1, wh1 — (H, 4H) each) stay in HBM and are streamed
@@ -342,6 +359,10 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     DMA cost scales with the ACTUAL longest duration instead of the
     static max_dur cap — the reference always pads every phoneme to the
     cap (/root/reference/tts.py:243-263).
+
+    ``prequant``: optional ``(wbig_q, scales)`` from
+    ``prequantize_hbm_weights`` — skips the inline per-call quantization
+    (a ~50 MB weight read) when weights_dtype is int8.
 
     Replaces the flagship batch-1 teacher decode hot loop,
     /root/reference/nets/modules/decoder_sa.py:591-617.
@@ -381,9 +402,12 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     big = [dec_params["lstm0"]["wh"], dec_params["lstm1"]["wx"],
            dec_params["lstm1"]["wh"]]
     if quantized:
-        qs = [quantize_per_column(w) for w in big]
-        wbig = jnp.concatenate([q for q, _ in qs], axis=0)
-        scales = jnp.stack([s for _, s in qs])        # (3, 4H) fp32
+        if prequant is not None:  # one-time codes from serving wrappers
+            wbig, scales = prequant
+        else:
+            qs = [quantize_per_column(w) for w in big]
+            wbig = jnp.concatenate([q for q, _ in qs], axis=0)
+            scales = jnp.stack([s for _, s in qs])    # (3, 4H) fp32
     else:
         wbig = jnp.concatenate([wdt(w) for w in big], axis=0)
         scales = jnp.ones((3, 4 * H), jnp.float32)    # unused placeholder

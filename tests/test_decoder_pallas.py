@@ -179,6 +179,39 @@ def test_hbm_stream_int8_matches_scan(monkeypatch):
         assert err < 0.05 * scale + 1e-3, (chunk_rows, err, scale)
 
 
+def test_prequantized_codes_match_inline(monkeypatch):
+    """prequantize_hbm_weights must produce BIT-identical output to the
+    kernel's inline quantization (serving wrappers compute codes once;
+    the decode must not change)."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+    import jax.experimental.pallas as pl
+
+    orig = pl.pallas_call
+
+    def interp_call(*a, **k):
+        k.setdefault("interpret", True)
+        return orig(*a, **k)
+
+    monkeypatch.setattr(dp.pl, "pallas_call", interp_call)
+
+    cfg = tiny_config(dropout_rate=0.0, max_dur=7)
+    params, _ = decoder_init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(0)
+    P, D = 5, cfg.max_dur
+    enc_seg = jnp.asarray(rng.normal(size=(P, cfg.eunits)).astype(
+        np.float32))
+    position = jnp.zeros((P, D), jnp.float32)
+
+    pq = dp.prequantize_hbm_weights(params)
+    inline = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
+                                    zoneout=cfg.zoneout_rate, dropout=0.0,
+                                    weights_dtype=jnp.int8)
+    pre = dp.fused_ar_decode_hbm(params, enc_seg, position, 0,
+                                 zoneout=cfg.zoneout_rate, dropout=0.0,
+                                 weights_dtype=jnp.int8, prequant=pq)
+    np.testing.assert_array_equal(np.asarray(inline), np.asarray(pre))
+
+
 def test_synthesize_pallas_hbm_backend(monkeypatch):
     """End-to-end synthesize routing through the weight-streaming kernel
     (decoder_backend='pallas_hbm', interpret mode): output must match the
