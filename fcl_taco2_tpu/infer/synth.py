@@ -81,6 +81,10 @@ class Synthesizer:
                 self.prequant = jax.jit(functools.partial(
                     prequantize_hbm_weights, compute_dtype=dt))(
                         self.params["decoder"])
+                if mesh is not None:  # closure constant must be replicated
+                    from fcl_taco2_tpu.parallel.mesh import replicated
+                    self.prequant = jax.device_put(self.prequant,
+                                                   replicated(mesh))
         self.batch_size = batch_size
         self.tok_bucket = tok_bucket
         self.frame_per_token = frame_per_token
