@@ -43,16 +43,9 @@ class TTSPipeline:
         # effective where the decode rides the weight-streaming kernel.
         # Codes prepared once — the inline path re-reads ~50 MB/call.
         self.quantize = quantize
-        self.prequant = None
-        if quantize == "int8":
-            from fcl_taco2_tpu.ops.decoder_pallas import (
-                hbm_stream_compatible, prequantize_hbm_weights)
-            if hbm_stream_compatible(model.cfg):
-                import functools
-                dt = jnp.dtype(model.cfg.compute_dtype)
-                self.prequant = jax.jit(functools.partial(
-                    prequantize_hbm_weights, compute_dtype=dt))(
-                        params["decoder"])
+        from fcl_taco2_tpu.ops.decoder_pallas import maybe_prequantize
+        self.prequant = maybe_prequantize(model.cfg, params["decoder"],
+                                          quantize)
         from fcl_taco2_tpu.utils.device import device_put_via_jit as put
         self.params = put(params)
         self.state = put(state)

@@ -109,15 +109,10 @@ class StreamTTS:
         # ~50 MB of weights on EVERY chunk, rivaling the chunk decode.
         self.quantize = quantize
         self.prequant = None
-        if quantize == "int8":
-            from fcl_taco2_tpu.ops.decoder_pallas import (
-                hbm_stream_compatible, prequantize_hbm_weights)
-            if hbm_stream_compatible(model.cfg):
-                import functools
-                dt = jnp.dtype(model.cfg.compute_dtype)
-                self.prequant = jax.jit(functools.partial(
-                    prequantize_hbm_weights, compute_dtype=dt))(
-                        params["decoder"])
+        if decoder_backend in ("auto", "pallas_hbm", "hybrid"):
+            from fcl_taco2_tpu.ops.decoder_pallas import maybe_prequantize
+            self.prequant = maybe_prequantize(model.cfg,
+                                              params["decoder"], quantize)
         self.budget_round = int(budget_round)
         # wav chunks whose D2H readback may lag their dispatch; adds
         # depth*Vh/sr of buffering latency after the FIRST chunk, hides

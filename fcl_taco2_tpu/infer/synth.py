@@ -70,21 +70,19 @@ class Synthesizer:
         from fcl_taco2_tpu.utils.device import warmup_transfers
         warmup_transfers()  # absorb the one-time D2H link init here
         # one-time int8 codes: the inline path re-reads ~50 MB of weights
-        # inside EVERY jitted call (loop-invariant only within one call)
+        # inside EVERY jitted call (loop-invariant only within one call);
+        # skipped for backends that can never consume them
         self.prequant = None
-        if quantize == "int8":
-            from fcl_taco2_tpu.ops.decoder_pallas import (
-                hbm_stream_compatible, prequantize_hbm_weights)
-            if hbm_stream_compatible(model.cfg):
-                import functools
-                dt = jnp.dtype(model.cfg.compute_dtype)
-                self.prequant = jax.jit(functools.partial(
-                    prequantize_hbm_weights, compute_dtype=dt))(
-                        self.params["decoder"])
-                if mesh is not None:  # closure constant must be replicated
-                    from fcl_taco2_tpu.parallel.mesh import replicated
-                    self.prequant = jax.device_put(self.prequant,
-                                                   replicated(mesh))
+        if decoder_backend in ("auto", "pallas_hbm", "hybrid"):
+            from fcl_taco2_tpu.ops.decoder_pallas import maybe_prequantize
+            self.prequant = maybe_prequantize(model.cfg,
+                                              self.params["decoder"],
+                                              quantize)
+            if self.prequant is not None and mesh is not None:
+                # closure constant must be replicated like the params
+                from fcl_taco2_tpu.parallel.mesh import replicated
+                self.prequant = jax.device_put(self.prequant,
+                                               replicated(mesh))
         self.batch_size = batch_size
         self.tok_bucket = tok_bucket
         self.frame_per_token = frame_per_token

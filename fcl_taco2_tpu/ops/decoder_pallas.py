@@ -295,6 +295,18 @@ def quantize_per_column(w):
     return q.astype(jnp.int8), s
 
 
+def maybe_prequantize(cfg, dec_params, quantize):
+    """Serving-wrapper init hook: one-time int8 codes when they can apply
+    (quantize == "int8" AND the config can ride the weight-streaming
+    kernel), else None.  Jitted so the ~50 MB quantization read happens
+    once, on device, instead of eagerly over a remote-device link."""
+    if quantize != "int8" or not hbm_stream_compatible(cfg):
+        return None
+    dt = jnp.dtype(cfg.compute_dtype)
+    return jax.jit(functools.partial(prequantize_hbm_weights,
+                                     compute_dtype=dt))(dec_params)
+
+
 def prequantize_hbm_weights(dec_params, compute_dtype=jnp.float32):
     """One-time int8 prep for ``fused_ar_decode_hbm(prequant=...)``:
     returns ``(wbig_q (3H, 4H) int8, scales (3, 4H) fp32)`` for the three

@@ -211,6 +211,31 @@ def test_prequantized_codes_match_inline(monkeypatch):
                                  weights_dtype=jnp.int8, prequant=pq)
     np.testing.assert_array_equal(np.asarray(inline), np.asarray(pre))
 
+    # the DEPLOYED order: synthesize casts params to compute_dtype (bf16
+    # teacher serving) BEFORE the kernel quantizes; prequantize must
+    # reproduce those codes from the UNCAST params via compute_dtype=
+    cast = jax.tree_util.tree_map(lambda x: x.astype(jnp.bfloat16), params)
+    pq16 = dp.prequantize_hbm_weights(params, compute_dtype=jnp.bfloat16)
+    inline16 = dp.fused_ar_decode_hbm(cast, enc_seg, position, 0,
+                                      zoneout=cfg.zoneout_rate,
+                                      dropout=0.0, weights_dtype=jnp.int8)
+    pre16 = dp.fused_ar_decode_hbm(cast, enc_seg, position, 0,
+                                   zoneout=cfg.zoneout_rate, dropout=0.0,
+                                   weights_dtype=jnp.int8, prequant=pq16)
+    np.testing.assert_array_equal(np.asarray(inline16), np.asarray(pre16))
+    # maybe_prequantize (the wrappers' entry point) routes the same way
+    cfg16 = tiny_config(dropout_rate=0.0, max_dur=7, dunits=256,
+                        compute_dtype="bfloat16")
+    p256, _ = decoder_init(jax.random.PRNGKey(0), cfg16)
+    mq = dp.maybe_prequantize(cfg16, p256, "int8")
+    assert mq is not None and mq[0].dtype == jnp.int8
+    np.testing.assert_array_equal(
+        np.asarray(mq[0]),
+        np.asarray(dp.prequantize_hbm_weights(
+            p256, compute_dtype=jnp.bfloat16)[0]))
+    assert dp.maybe_prequantize(cfg16, p256, "none") is None
+    assert dp.maybe_prequantize(cfg, params, "int8") is None  # dunits=20
+
 
 def test_synthesize_pallas_hbm_backend(monkeypatch):
     """End-to-end synthesize routing through the weight-streaming kernel
