@@ -35,11 +35,16 @@ def main(argv=None):
     p.add_argument("--parts", type=int, default=10)
     p.add_argument("--batch-size", type=int, default=8)
     p.add_argument("--label", type=str, default="teacher")
-    p.add_argument("--extra-synth", nargs="*", default=[])
+    p.add_argument("--extra-synth", nargs="*", default=[],
+                   help="extra fcl_synth flags; dash-leading values must "
+                        "use the = form with quoting, e.g. "
+                        "--extra-synth='--decoder-backend hybrid' "
+                        "(each element is whitespace-split)")
     p.add_argument("--out", type=str,
                    default=os.path.join(REPO, "results",
                                         "DECODE_protocol.json"))
     args = p.parse_args(argv)
+    args.extra_synth = [t for s in args.extra_synth for t in s.split()]
 
     from cli import fcl_splitjson, fcl_synth
 
