@@ -360,7 +360,15 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     are dequantized once per step inside the kernel (see _kernel_hbm).
     Weight-only quantization: activations, biases and LSTM state stay
     fp32, so the numeric cost is bounded per-column rounding (~1e-2
-    relative on the mel; tests/test_decoder_pallas.py pins it).
+    relative on the mel; tests/test_decoder_pallas.py pins it,
+    results/QUANT_decode.json measures it end-to-end).
+
+    int4 is deliberately NOT offered: at H=1024/P=128 the int8 stream
+    (~15.5 us/step at v5e HBM bandwidth) already sits at the step's
+    compute floor (~16 us/step of MXU work), so halving the bytes again
+    cannot speed the kernel up — it would only double the per-column
+    quantization step (the error compounds through the LSTM recurrence)
+    for zero throughput gain.  Roofline decision, not an oversight.
 
     Only worthwhile while P is a single tile (each grid tile re-streams
     the weights; the XLA scan reads them once per step for ALL P) — the
