@@ -101,6 +101,19 @@ def get_parser():
                    help="feature-transform conf applied by the loader "
                         "(espnet Transformation schema; tts_train.py:190, "
                         "io_utils_fcl.py:58-66)")
+    # finetuning (tts_train.py:258-287): partial init + freezing; mods
+    # are comma-separated pytree path prefixes, reference "enc."/"dec."
+    # aliases accepted (train/finetune.py)
+    comma_list = lambda s: tuple(m for m in s.split(",") if m)  # noqa: E731
+    p.add_argument("--enc-init", type=str, default=None,
+                   help="pre-trained checkpoint to initialize the encoder")
+    p.add_argument("--enc-init-mods", type=comma_list, default=("enc.",))
+    p.add_argument("--dec-init", type=str, default=None,
+                   help="pre-trained checkpoint to initialize the decoder")
+    p.add_argument("--dec-init-mods", type=comma_list, default=("dec.",))
+    p.add_argument("--freeze-mods", type=comma_list, default=(),
+                   help="modules to freeze (exclude from the optimizer), "
+                        "comma-separated (tts.py:380-393)")
     # batching (tts_train.py:118-182)
     p.add_argument("--batch-size", "-b", type=int, default=16)
     p.add_argument("--batch-sort-key", type=str, default="shuffle",
@@ -212,6 +225,9 @@ def train_config_from_args(args):
         n_devices=args.n_devices, n_slices=args.n_slices,
         resume=args.resume, profile_dir=args.profile_dir,
         preprocess_conf=args.preprocess_conf,
+        enc_init=args.enc_init, enc_init_mods=tuple(args.enc_init_mods),
+        dec_init=args.dec_init, dec_init_mods=tuple(args.dec_init_mods),
+        freeze_mods=tuple(args.freeze_mods),
         checkpoint_on_signal=True)
 
 

@@ -69,6 +69,15 @@ class TrainConfig:
     # gets train=False (tts.py:486-498)
     preprocess_conf: Optional[str] = None
     fixed_shapes: bool = True  # one compile for the run (see BatchConverter)
+    # finetuning (tts_train.py:258-287, tts.py:353-355, :380-393):
+    # partial init from pretrained checkpoints + module freezing; mods are
+    # pytree path prefixes ("encoder", "decoder.lstm0", ...; reference
+    # aliases "enc."/"dec." accepted — train/finetune.py)
+    enc_init: Optional[str] = None
+    enc_init_mods: tuple = ("enc.",)
+    dec_init: Optional[str] = None
+    dec_init_mods: tuple = ("dec.",)
+    freeze_mods: tuple = ()
     # preemption safety: on SIGTERM/SIGINT, finish the in-flight step, save
     # snapshot.preempt, and return cleanly (resumable via --resume).  The
     # reference loses everything since its last 10-epoch amp checkpoint
@@ -115,7 +124,8 @@ class Trainer:
             name=tcfg.opt, lr=tcfg.lr, eps=tcfg.eps,
             weight_decay=tcfg.weight_decay, grad_clip=tcfg.grad_clip,
             accum_grad=tcfg.accum_grad,
-            noam_model_size=model.cfg.embed_dim)
+            noam_model_size=model.cfg.embed_dim,
+            freeze_mods=tcfg.freeze_mods)
         self._build_steps()
         from fcl_taco2_tpu.utils.device import warmup_transfers
         warmup_transfers()  # absorb the one-time D2H link init (axon relay)
@@ -140,6 +150,20 @@ class Trainer:
         # jitted init: one compiled program instead of hundreds of tiny
         # PRNG dispatches (slow over remote-device links)
         params, mstate = jax.jit(self.model.init)(rng)
+        # partial init from pretrained checkpoints (tts.py:353-355)
+        t = self.tcfg
+        for ckpt, mods, tag in ((t.enc_init, t.enc_init_mods, "enc-init"),
+                                (t.dec_init, t.dec_init_mods, "dec-init")):
+            if ckpt:
+                from fcl_taco2_tpu.train.finetune import load_partial
+                params, mstate, copied = load_partial(params, mstate, ckpt,
+                                                      mods)
+                print(f"{tag}: loaded {len(copied)} tensors from {ckpt} "
+                      f"under {list(mods)}", flush=True)
+        if t.freeze_mods:
+            from fcl_taco2_tpu.train.finetune import frozen_paths
+            for p in frozen_paths(params, t.freeze_mods):
+                print(f"{p} is frozen not to be updated.", flush=True)
         # per-submodule size report at construction
         # (e2e_tts_tacotron2_sa.py:483-517 parity)
         from fcl_taco2_tpu.utils.summary import format_param_report
