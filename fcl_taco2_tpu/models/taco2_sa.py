@@ -519,6 +519,16 @@ class Tacotron2SA:
             use_pallas = on_tpu and pallas_compatible and \
                 kernel_wdt is not None
             use_hbm = on_tpu and not use_pallas and hbm_ok
+            # multi-tile teacher batches with ragged bounds: the hybrid
+            # split (head tile on the weight-streaming kernel, rest on
+            # one residual-bounded scan) measured 1.165x vs the plain
+            # ragged scan at B=16 (1.485M vs 1.274M frames/s,
+            # results/BENCH_local.json batch16_synth_hybrid row), so
+            # auto selects it whenever its preconditions hold
+            use_hybrid = (on_tpu and not use_pallas and not use_hbm
+                          and hbm_stream_compatible(cfg)
+                          and kernel_wdt is None and P > TILE
+                          and tile_bounds is not None)
         elif decoder_backend == "pallas_hbm":
             use_pallas = False
             use_hbm = True
@@ -534,8 +544,9 @@ class Tacotron2SA:
             # kernel at its own bound while the remaining rows run ONE
             # XLA scan at the much smaller residual bound (the 129th-
             # largest duration; mean dur ~8 vs the ~50-frame tail).
-            # Explicit opt-in until the TPU refresh measures it
-            # (bench.py batch16_synth_hybrid row).
+            # Also what "auto" picks when the preconditions hold
+            # (measured 1.165x vs the ragged scan at B=16,
+            # results/BENCH_local.json batch16_synth_hybrid row).
             use_pallas = False
             use_hbm = False
             use_hybrid = True

@@ -328,6 +328,14 @@ def main(argv=None):
           "would need a custom VJP for a fraction of these costs; "
           "recorded negative result, training keeps the XLA scan")
     os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    if os.path.exists(args.out):
+        # preserve sections other tools recorded into this artifact
+        # (train_scan_experiments, hbm_dma_experiments, ...) — only the
+        # keys this script measures are refreshed
+        with open(args.out) as f:
+            existing = json.load(f)
+        existing.update(payload)
+        payload = existing
     with open(args.out, "w") as f:
         json.dump(payload, f, indent=2)
     print(f"wrote {args.out}")
