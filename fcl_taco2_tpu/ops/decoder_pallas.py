@@ -401,6 +401,15 @@ def fused_ar_decode_hbm(dec_params, enc_seg, position, seed, *, zoneout=0.1,
     wx0 = dec_params["lstm0"]["wx"]
     H = dec_params["lstm0"]["wh"].shape[0]
     CH = min(chunk_rows, H)
+    if jnp.dtype(weights_dtype).itemsize == 4:
+        # fp32 streams double every buffer: with the default CH=256 the
+        # 2-slot chunk scratch (8.4 MB at H=1024) plus the fp32-resident
+        # small weights exceed the 16 MB VMEM scoped limit by ~2.7 MB
+        # (measured compile OOM).  Halving the chunk keeps the scratch at
+        # the bf16 footprint; fp32 is a compat path (measured slower than
+        # bf16 — the DMA bound doubles), so the smaller DMA granularity
+        # is acceptable.
+        CH = min(CH, 128)
     assert H % CH == 0, (H, CH)
     wx0_enc = wx0[:idim]
     wx0_pre = wx0[idim:idim + units]
