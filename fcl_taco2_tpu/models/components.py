@@ -218,11 +218,21 @@ def duration_predictor_inference(params, x, pad_mask, offset=1.0):
     return d
 
 
-def duration_loss(logd_pred, targets_dur, mask, offset=1.0):
+def duration_loss(logd_pred, targets_dur, mask, offset=1.0,
+                  weighted_n_valid=None):
     """espnet DurationPredictorLoss: MSE in log domain with offset, masked
-    mean (e2e_tts_tacotron2_sa.py:559-565)."""
+    mean (e2e_tts_tacotron2_sa.py:559-565).
+
+    ``weighted_n_valid`` switches to the use_weighted_masking reduction
+    (tokens weighted per-utterance by 1/ilens, utterances equally) — the
+    natural extension of Tacotron2Loss:72-80; the reference's own weighted
+    duration path returns an unreduced vector (reduction='none' never
+    re-reduced, :413-414 + :563-565) and would crash at .item()."""
+    from fcl_taco2_tpu.ops.masking import weighted_masked_sum
     target = jnp.log(targets_dur.astype(logd_pred.dtype) + offset)
     diff = (logd_pred - target) ** 2
+    if weighted_n_valid is not None:
+        return weighted_masked_sum(diff, mask, weighted_n_valid)
     mask_f = mask.astype(logd_pred.dtype)
     return jnp.sum(diff * mask_f) / jnp.maximum(jnp.sum(mask_f), 1.0)
 

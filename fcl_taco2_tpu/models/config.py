@@ -128,10 +128,6 @@ class ModelConfig:
                 "max_dur frame bucket")
         if self.prenet_layers < 0 or self.postnet_layers < 0:
             raise ValueError("prenet_layers/postnet_layers must be >= 0")
-        if self.use_weighted_masking:
-            raise NotImplementedError(
-                "use_weighted_masking is not supported (reference default "
-                "False, tts_train.py; use use_masking instead)")
         if self.use_masking and self.use_weighted_masking:
             raise ValueError("use_masking and use_weighted_masking are "
                              "mutually exclusive (e2e_tts_tacotron2_sa.py:39)")

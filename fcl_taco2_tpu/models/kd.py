@@ -26,7 +26,7 @@ from jax import random
 from fcl_taco2_tpu.models.config import ModelConfig
 from fcl_taco2_tpu.models.taco2_sa import Batch, Tacotron2SA
 from fcl_taco2_tpu.ops.masking import (lengths_to_non_pad_mask, masked_l1,
-                                       masked_mse)
+                                       masked_mse, weighted_l1, weighted_mse)
 from fcl_taco2_tpu.utils import initializers as init
 
 
@@ -140,9 +140,22 @@ class KDStudent:
             f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
             sa, ta = f32(s_know["after_outs"]), f32(t_know["after_outs"])
             sb, tb = f32(s_know["before_outs"]), f32(t_know["before_outs"])
-            out_l1 = masked_l1(sa, ta, out_mask) + masked_l1(sb, tb, out_mask)
-            out_mse = masked_mse(sa, ta, out_mask) \
-                + masked_mse(sb, tb, out_mask)
+            if self.student.cfg.use_weighted_masking:
+                # Tacotron2Loss_kd's weighted branch is the one KD criterion
+                # whose weighted path actually works in the reference
+                # (…_kd_student.py:72-80); the Knowledge_loss weighted path
+                # is latent-broken (reduction='none' never re-reduced,
+                # :156-179), so the knowledge terms stay masked means.
+                n_valid = jnp.sum(batch.olens > 0).astype(jnp.float32)
+                out_l1 = weighted_l1(sa, ta, out_mask, n_valid) \
+                    + weighted_l1(sb, tb, out_mask, n_valid)
+                out_mse = weighted_mse(sa, ta, out_mask, n_valid) \
+                    + weighted_mse(sb, tb, out_mask, n_valid)
+            else:
+                out_l1 = masked_l1(sa, ta, out_mask) \
+                    + masked_l1(sb, tb, out_mask)
+                out_mse = masked_mse(sa, ta, out_mask) \
+                    + masked_mse(sb, tb, out_mask)
             loss = loss + out_l1 + out_mse
             report["output_l1_loss"] = out_l1
             report["output_mse_loss"] = out_mse

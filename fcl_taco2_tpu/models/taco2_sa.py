@@ -26,7 +26,7 @@ from fcl_taco2_tpu.models.decoder import (apply_postnet_inference,
 from fcl_taco2_tpu.models.encoder import encoder_apply, encoder_init
 from fcl_taco2_tpu.ops.masking import (lengths_to_non_pad_mask,
                                        lengths_to_pad_mask, masked_l1,
-                                       masked_mse)
+                                       masked_mse, weighted_l1, weighted_mse)
 from fcl_taco2_tpu.ops.regroup import gather_segments, gather_token_vectors
 
 
@@ -230,12 +230,15 @@ class Tacotron2SA:
         # losses always in fp32 (mixed-precision safe accumulation)
         f32 = lambda x: x.astype(jnp.float32)  # noqa: E731
         mel32 = f32(batch.mel)
-        if cfg.use_masking:
+        if cfg.use_masking or cfg.use_weighted_masking:
             out_mask = batch.utt_mask[..., None]
             if cfg.reduction_factor > 1:
                 # reference drops the mod-r ground-truth tail before the mel
                 # loss (e2e_tts_tacotron2_sa.py:595-599); as a mask: frames
-                # past olens - olens % r don't count
+                # past olens - olens % r don't count.  The weighted path
+                # builds its mask from the SAME post-trim olens (the
+                # reference updates olens at :596 before taco2_loss builds
+                # masks at :61/:74), so the trim applies to both.
                 olens_r = batch.olens - batch.olens % cfg.reduction_factor
                 out_mask = out_mask & lengths_to_non_pad_mask(
                     olens_r, batch.mel.shape[1])[..., None]
@@ -245,22 +248,52 @@ class Tacotron2SA:
             # padding-sensitive by definition — here the pad extent is the
             # static Lmax bucket rather than the reference's per-batch max.
             out_mask = None
-        l1 = masked_l1(f32(after), mel32, out_mask) + \
-            masked_l1(f32(before), mel32, out_mask)
-        mse = masked_mse(f32(after), mel32, out_mask) + \
-            masked_mse(f32(before), mel32, out_mask)
         in_mask = ~pad_mask
-        # duration loss is ALWAYS masked, independent of use_masking
-        # (e2e_tts_tacotron2_sa.py:560-565)
-        dur = C.duration_loss(f32(d_outs), batch.durations, in_mask,
-                              offset=cfg.duration_predictor_offset)
+        if cfg.use_weighted_masking:
+            # use_weighted_masking: every utterance contributes equally
+            # regardless of length (Tacotron2Loss:72-80).  n_valid counts
+            # real utterances — the static batch axis may carry all-pad
+            # ghost rows the reference's ys.size(0) never sees.
+            n_valid = jnp.sum(batch.olens > 0).astype(jnp.float32)
+            l1 = weighted_l1(f32(after), mel32, out_mask, n_valid) + \
+                weighted_l1(f32(before), mel32, out_mask, n_valid)
+            mse = weighted_mse(f32(after), mel32, out_mask, n_valid) + \
+                weighted_mse(f32(before), mel32, out_mask, n_valid)
+            # the reference's weighted duration path is latent-broken: with
+            # reduction='none' DurationPredictorLoss returns an unreduced
+            # vector that crashes at duration_loss.item()
+            # (e2e_tts_tacotron2_sa.py:563-565, :606).  Implement the
+            # natural extension — tokens weighted per-utterance by 1/ilens,
+            # mirroring the mel formula.
+            dur = C.duration_loss(
+                f32(d_outs), batch.durations, in_mask,
+                offset=cfg.duration_predictor_offset,
+                weighted_n_valid=n_valid)
+        else:
+            l1 = masked_l1(f32(after), mel32, out_mask) + \
+                masked_l1(f32(before), mel32, out_mask)
+            mse = masked_mse(f32(after), mel32, out_mask) + \
+                masked_mse(f32(before), mel32, out_mask)
+            # duration loss is ALWAYS masked, independent of use_masking
+            # (e2e_tts_tacotron2_sa.py:560-565)
+            dur = C.duration_loss(f32(d_outs), batch.durations, in_mask,
+                                  offset=cfg.duration_predictor_offset)
         loss = l1 + mse + dur
         report = {"l1_loss": l1, "mse_loss": mse, "dur_loss": dur}
 
         if cfg.use_fe_condition:
-            fe_mask = in_mask[..., None] if cfg.use_masking else None
-            pitch = masked_mse(f32(p_outs), f32(batch.f0), fe_mask)
-            energy = masked_mse(f32(e_outs), f32(batch.energy), fe_mask)
+            if cfg.use_weighted_masking:
+                # same latent reference gap as durations (prosody_criterions
+                # with reduction='none' is never re-reduced, :100-133);
+                # natural extension: per-utterance token weighting.
+                pitch = weighted_mse(f32(p_outs), f32(batch.f0),
+                                     in_mask[..., None], n_valid)
+                energy = weighted_mse(f32(e_outs), f32(batch.energy),
+                                      in_mask[..., None], n_valid)
+            else:
+                fe_mask = in_mask[..., None] if cfg.use_masking else None
+                pitch = masked_mse(f32(p_outs), f32(batch.f0), fe_mask)
+                energy = masked_mse(f32(e_outs), f32(batch.energy), fe_mask)
             loss = loss + pitch + energy  # prosody_weight 1.0 (:612-613)
             report["pitch_loss"] = pitch
             report["energy_loss"] = energy

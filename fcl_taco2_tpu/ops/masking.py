@@ -35,6 +35,45 @@ def masked_mean(values, mask, eps=0.0):
     return total / jnp.maximum(count, 1.0 if eps == 0.0 else eps)
 
 
+def weighted_masked_sum(err, mask, n_valid_utts):
+    """Reference ``use_weighted_masking`` reduction (Tacotron2Loss,
+    e2e_tts_tacotron2_sa.py:72-80): per-element weights
+    ``mask / mask.sum(time)`` (each utterance contributes equally
+    regardless of length), divided by ``batch * feat_dim``, then the
+    weighted error is summed.
+
+    Two deliberate deltas from the literal torch code, both documented:
+    - ``n_valid_utts`` replaces the reference's ``ys.size(0)``: the static
+      batch axis here can carry all-pad ghost rows (olens=0) that the
+      reference never sees; counting them would dilute the loss by the
+      padding factor.
+    - a ``max(count, 1)`` guard keeps ghost rows finite (their mask is
+      all-False so they contribute exactly 0 either way).
+
+    ``err`` is (B, T) or (B, T, C); ``mask`` is bool (B, T) or (B, T, 1)
+    and must NOT be pre-broadcast over the feature axis — the per-utterance
+    count is a frame count (masks.sum(dim=1) in the reference), not an
+    element count.
+    """
+    mask_f = mask.astype(err.dtype)
+    per_utt_frames = jnp.sum(mask_f, axis=1, keepdims=True)
+    feat = err.shape[-1] if err.ndim == 3 else 1
+    w = mask_f / jnp.maximum(per_utt_frames, 1.0)
+    w = w / (jnp.maximum(n_valid_utts, 1.0).astype(err.dtype) * feat)
+    return jnp.sum(err * w)
+
+
+def weighted_l1(pred, target, mask, n_valid_utts):
+    """use_weighted_masking L1 (Tacotron2Loss:72-80)."""
+    return weighted_masked_sum(jnp.abs(pred - target), mask, n_valid_utts)
+
+
+def weighted_mse(pred, target, mask, n_valid_utts):
+    """use_weighted_masking MSE (Tacotron2Loss:72-80)."""
+    diff = pred - target
+    return weighted_masked_sum(diff * diff, mask, n_valid_utts)
+
+
 def masked_l1(pred, target, mask):
     """Masked-mean L1, reference Tacotron2Loss l1_criterion semantics.
     ``mask=None`` is the use_masking=False path: a plain mean over the

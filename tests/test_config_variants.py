@@ -118,8 +118,8 @@ def test_invalid_configs_raise():
         tiny_config(max_dur=5, reduction_factor=2)  # not divisible
     with pytest.raises(ValueError):
         tiny_config(elayers=0, econv_layers=0)  # empty encoder
-    with pytest.raises(NotImplementedError):
-        tiny_config(use_masking=False, use_weighted_masking=True)
+    with pytest.raises(ValueError):
+        tiny_config(use_masking=True, use_weighted_masking=True)
     with pytest.raises(ValueError):
         tiny_config(dlayers=0)
     with pytest.raises(ValueError):
