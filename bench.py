@@ -525,9 +525,24 @@ def main():
         fps_q, _, _ = jax_tpu_run(quantize="int8")
         return {"batch1_synth_int8_frames_per_sec": round(fps_q, 1)}
 
-    for runner in (capped_batch1_run, int8_batch1_run, train_step_run,
-                   train_step_single_class_run,
-                   batched_synth_run, student_batch1_run, e2e_tts_run):
+    runners = [capped_batch1_run, int8_batch1_run, train_step_run,
+               train_step_single_class_run,
+               batched_synth_run, student_batch1_run, e2e_tts_run]
+    if "--train-scaling" in sys.argv:
+        # reproduces results/TRAIN_scaling.json (B=32/64 classed-scan
+        # rows); off the default path — the extra compiles cost minutes
+        def train_scaling_run():
+            global TRAIN_B
+            b0, rows = TRAIN_B, {}
+            try:
+                for B in (32, 64):
+                    TRAIN_B = B
+                    rows.update(train_step_run(suffix=f"_b{B}"))
+            finally:
+                TRAIN_B = b0
+            return rows
+        runners.append(train_scaling_run)
+    for runner in runners:
         try:
             extra.update(runner())
         except Exception as exc:  # keep the primary metric robust
