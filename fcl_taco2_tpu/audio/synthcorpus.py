@@ -76,21 +76,28 @@ def _voiced(n, f0_track, formants, rng, n_harm=40):
 
 
 def _phone_wave(phone, n, f0_track, rng):
+    """Returns (wave, voiced_mask): the mask marks samples where harmonic
+    excitation at ``f0_track`` is actually present — the per-sample
+    ground truth the F0-tracker evaluation scores against
+    (scripts/f0_groundtruth_eval.py)."""
+    ones = np.ones(n, bool)
+    zeros = np.zeros(n, bool)
     if phone == "sil":
-        return rng.normal(size=n) * 1e-4
+        return rng.normal(size=n) * 1e-4, zeros
     if phone in VOWELS:
-        return _voiced(n, f0_track, VOWELS[phone], rng)
+        return _voiced(n, f0_track, VOWELS[phone], rng), ones
     if phone in NASALS:
-        return 0.5 * _voiced(n, f0_track, NASALS[phone], rng)
+        return 0.5 * _voiced(n, f0_track, NASALS[phone], rng), ones
     if phone in FRICATIVES:
         center, bw, voiced = FRICATIVES[phone]
         x = 0.35 * _shaped_noise(n, center, bw, rng)
         if voiced:
             x += 0.5 * _voiced(n, f0_track, (300, 1400, 2500), rng)
-        return x
+        return x, (ones if voiced else zeros)
     if phone in STOPS:
         center, voiced = STOPS[phone]
         x = np.zeros(n)
+        mask = zeros.copy()
         closure = int(0.6 * n)
         burst = _shaped_noise(n - closure, center, 1500, rng)
         env = np.exp(-np.arange(n - closure) / (0.012 * SR))
@@ -98,7 +105,8 @@ def _phone_wave(phone, n, f0_track, rng):
         if voiced:
             x[:closure] += 0.15 * _voiced(closure, f0_track[:closure],
                                           (200, 1000, 2200), rng)
-        return x
+            mask[:closure] = True
+        return x, mask
     raise ValueError(phone)
 
 
@@ -112,8 +120,12 @@ def _duration(phone, rng):
     return float(rng.uniform(0.05, 0.14))
 
 
-def synth_utterance(rng, n_phones):
-    """Random phone string -> (wav float64, [(start, end, phone)])."""
+def synth_utterance(rng, n_phones, return_truth=False):
+    """Random phone string -> (wav float64, [(start, end, phone)]).
+
+    With ``return_truth``, also returns the per-sample excitation F0
+    track (Hz) and voicing mask the generator used — the analytic ground
+    truth the YIN evaluation scores against (VERDICT r03 #6)."""
     content = [p for p in PHONES if p != "sil"]
     phones = ["sil"]
     while len(phones) < n_phones - 1:
@@ -137,6 +149,7 @@ def synth_utterance(rng, n_phones):
         np.arange(1, n_total + 1))  # slow jitter walk
 
     wav = np.zeros(n_total)
+    voiced = np.zeros(n_total, bool)
     segs = []
     xfade = int(0.010 * SR)
     pos = 0.0
@@ -147,16 +160,19 @@ def synth_utterance(rng, n_phones):
         if n <= 0:
             pos += d
             continue
-        x = _phone_wave(phone, n, f0[a:b], rng)
+        x, vmask = _phone_wave(phone, n, f0[a:b], rng)
         # amplitude contour: attack/decay + utterance-level loudness
         env = np.minimum(np.arange(n) / max(xfade, 1), 1.0)
         env *= np.minimum((n - np.arange(n)) / max(xfade, 1), 1.0)
         loud = 0.7 + 0.3 * np.sin(2 * np.pi * pos / max(total, 1e-6))
         wav[a:b] += x * env * loud
+        voiced[a:b] |= vmask
         segs.append((round(pos, 4), round(pos + d, 4), phone))
         pos += d
     peak = np.abs(wav).max()
     wav = 0.6 * wav / max(peak, 1e-9)
+    if return_truth:
+        return wav, segs, f0, voiced
     return wav, segs
 
 

@@ -19,6 +19,16 @@ scripts/make_f0_goldens.py; asserted by tests/test_f0_goldens.py):
     breathy          0.990          6.5            0
     speechlike       0.988          2.7            0
     onsets           0.905          0.1            0
+    synthcorpus GT   0.973          3.8            0   (end-to-end)
+
+The last row scores speech-like signals end-to-end: 24 full synthcorpus
+utterances (formants, crossfades, noise phones, stop bursts) against the
+generator's OWN per-sample excitation F0 + voicing mask at the
+preprocessing parameters, plus the phoneme-averaged voiced-only lf0 the
+pipeline actually emits (median |Δlf0| 0.0012 ≈ 2 cents) —
+results/F0_groundtruth.json, regenerate with
+scripts/f0_groundtruth_eval.py, regression-gated by
+tests/test_f0_goldens.py::test_synthcorpus_ground_truth.
 
 The default voicing threshold 0.35 is the measured sweet spot: 0.15 marks
 5 dB-SNR and breathy voicing entirely unvoiced; 0.5 falls into the octave

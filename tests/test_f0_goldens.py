@@ -83,3 +83,36 @@ def test_goldens_regenerable():
         np.testing.assert_array_equal(
             z[f"{name}_signal"], (x * 32767).astype(np.int16), err_msg=name)
         np.testing.assert_allclose(z[f"{name}_f0"], truth, err_msg=name)
+
+
+def test_synthcorpus_ground_truth():
+    """YIN end-to-end on speech-like synthcorpus signals vs the
+    generator's OWN excitation F0 + voicing mask (VERDICT r03 #6); the
+    full 24-utt budget lives in results/F0_groundtruth.json
+    (scripts/f0_groundtruth_eval.py), this gate re-scores 3 utterances."""
+    from fcl_taco2_tpu.audio.synthcorpus import SR, synth_utterance
+    from fcl_taco2_tpu.ops.f0 import yin_f0
+
+    rng = np.random.default_rng(7)
+    hop = 256
+    tp = pred_v = true_v = 0
+    cents_all = []
+    for _ in range(3):
+        wav, _, f0_true, vmask = synth_utterance(rng, 16, return_truth=True)
+        est = np.asarray(yin_f0(np.asarray(wav, np.float32), SR, hop))
+        centers = np.minimum(np.arange(len(est)) * hop, len(f0_true) - 1)
+        tf0 = f0_true[centers]
+        tv = np.asarray([vmask[max(c - hop // 2, 0):c + hop // 2].mean()
+                         > 0.5 for c in centers])
+        pv = est > 0
+        tp += int((tv & pv).sum())
+        pred_v += int(pv.sum())
+        true_v += int(tv.sum())
+        m = tv & pv
+        cents_all.append(1200.0 * np.log2(est[m] / tf0[m]))
+    prec, rec = tp / pred_v, tp / true_v
+    f1 = 2 * prec * rec / (prec + rec)
+    cents = np.abs(np.concatenate(cents_all))
+    assert f1 >= 0.93, f1
+    assert np.median(cents) <= 15.0, float(np.median(cents))
+    assert (cents > 200).mean() <= 0.005, float((cents > 200).mean())
