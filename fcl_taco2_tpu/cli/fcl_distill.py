@@ -6,13 +6,11 @@ tts_distill.py)."""
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 
 def run_kd_training(args, tcfg, idim, odim, train_utts, val_utts):
     import yaml
 
-    from cli.fcl_train import get_parser, model_config_from_args
+    from fcl_taco2_tpu.cli.fcl_train import get_parser, model_config_from_args
     from fcl_taco2_tpu.models.kd import KDStudent
     from fcl_taco2_tpu.train.distill import KDTrainer
     from fcl_taco2_tpu.utils.cliconf import parse_with_configs

@@ -10,8 +10,6 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 from fcl_taco2_tpu.audio.preprocess import PreprocessConfig, run_preprocess
 
 

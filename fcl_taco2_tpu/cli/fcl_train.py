@@ -11,8 +11,6 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 from fcl_taco2_tpu.utils.cliconf import parse_with_configs, strtobool
 
 
@@ -269,7 +267,7 @@ def main(argv=None):
         trainer = Trainer(model, tcfg, train_utts, val_utts)
         trainer.run()
     else:
-        from cli.fcl_distill import run_kd_training
+        from fcl_taco2_tpu.cli.fcl_distill import run_kd_training
         run_kd_training(args, tcfg, idim, odim, train_utts, val_utts)
 
 

@@ -11,9 +11,7 @@ import argparse
 import os
 import sys
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-from cli.fcl_vocode import write_wav  # noqa: E402
+from fcl_taco2_tpu.cli.fcl_vocode import write_wav  # noqa: E402
 
 
 def get_parser():

@@ -13,8 +13,6 @@ import wave as wavemod
 
 import numpy as np
 
-sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
 
 def write_wav(path, x, sr):
     x = np.clip(x, -1.0, 1.0)
