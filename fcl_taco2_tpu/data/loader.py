@@ -9,10 +9,17 @@ to hide host latency; depth>1 keeps the TPU fed across step boundaries.
 
 import queue
 import threading
+import time
 
 
 class PrefetchLoader:
-    """Iterate device-ready batches with background conversion."""
+    """Iterate device-ready batches with background conversion.
+
+    After iteration, ``stats`` holds the wall-time split for the pass:
+    ``wait_s`` (consumer blocked on the queue — the only part that can
+    starve the device), ``convert_s`` / ``put_s`` (worker-side conversion
+    and H2D enqueue, normally hidden behind device compute), ``batches``.
+    """
 
     def __init__(self, batches, convert_fn, put_fn, depth=2):
         """batches: list of utterance lists; convert_fn: batch -> Batch
@@ -21,6 +28,8 @@ class PrefetchLoader:
         self.convert_fn = convert_fn
         self.put_fn = put_fn
         self.depth = depth
+        self.stats = {"wait_s": 0.0, "convert_s": 0.0, "put_s": 0.0,
+                      "batches": 0}
 
     def __len__(self):
         return len(self.batches)
@@ -30,6 +39,9 @@ class PrefetchLoader:
         stop = object()
         abandoned = threading.Event()
         err = []
+        stats = {"wait_s": 0.0, "convert_s": 0.0, "put_s": 0.0,
+                 "batches": 0}
+        self.stats = stats  # live view; finalized when iteration ends
 
         def _put(item):
             # bounded put that gives up if the consumer went away (an
@@ -46,7 +58,14 @@ class PrefetchLoader:
         def worker():
             try:
                 for b in self.batches:
-                    if not _put(self.put_fn(self.convert_fn(b))):
+                    t0 = time.perf_counter()
+                    converted = self.convert_fn(b)
+                    t1 = time.perf_counter()
+                    item = self.put_fn(converted)
+                    t2 = time.perf_counter()
+                    stats["convert_s"] += t1 - t0
+                    stats["put_s"] += t2 - t1
+                    if not _put(item):
                         return
             except BaseException as e:  # surface in consumer thread
                 err.append(e)
@@ -57,11 +76,14 @@ class PrefetchLoader:
         t.start()
         try:
             while True:
+                t0 = time.perf_counter()
                 item = q.get()
+                stats["wait_s"] += time.perf_counter() - t0
                 if item is stop:
                     break
                 if err:
                     break
+                stats["batches"] += 1
                 yield item
         finally:
             abandoned.set()
