@@ -5,6 +5,11 @@ The reference forks loader worker processes
 JAX the device runs async ahead of Python, so a single prefetch thread that
 converts (numpy, GIL-releasing IO) and enqueues device transfers is enough
 to hide host latency; depth>1 keeps the TPU fed across step boundaries.
+Measured, not asserted: in the real teacher loop the consumer blocks on
+this queue 4.7 ms/step against a 29 ms device step, with 0.4 s/epoch of
+conversion and 1.3 s/epoch of H2D fully hidden behind device compute
+(results/TRAIN_loop.json steady_state) — worker PROCESSES would buy
+nothing here.
 """
 
 import queue

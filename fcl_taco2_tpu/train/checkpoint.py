@@ -37,24 +37,43 @@ def load_model_json(exp_dir):
 
 
 def _to_host(tree):
-    return jax.tree_util.tree_map(np.asarray, tree)
+    # pipelined fetch: serial per-leaf np.asarray pays the link RTT per
+    # leaf and dominated the real training loop before
+    # (results/TRAIN_loop.json pre-fix: 117 s/epoch of checkpoint fetch)
+    from fcl_taco2_tpu.utils.device import device_get_pipelined
+
+    return device_get_pipelined(tree)
 
 
-def save_checkpoint(path, train_state: TrainState, epoch: int = 0,
-                    best_val: Optional[float] = None):
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+def fetch_host_state(train_state: TrainState) -> dict:
+    """One device->host fetch of the whole TrainState, reusable across
+    several checkpoint files in the same epoch (snapshot.ep.N and
+    model.loss.best would otherwise each pay the full fetch)."""
     # to_state_dict normalizes lists / optax NamedTuples into plain
     # string-keyed dicts so the msgpack roundtrip matches from_state_dict
-    payload = {
-        "params": serialization.to_state_dict(_to_host(train_state.params)),
-        "model_state": serialization.to_state_dict(
-            _to_host(train_state.model_state)),
-        "opt_state": serialization.to_state_dict(
-            _to_host(train_state.opt_state)),
+    host = _to_host((train_state.params, train_state.model_state,
+                     train_state.opt_state))
+    return {
+        "params": serialization.to_state_dict(host[0]),
+        "model_state": serialization.to_state_dict(host[1]),
+        "opt_state": serialization.to_state_dict(host[2]),
         "step": int(train_state.step),
-        "epoch": int(epoch),
-        "best_val": float("inf") if best_val is None else float(best_val),
     }
+
+
+def save_checkpoint(path, train_state: Optional[TrainState] = None,
+                    epoch: int = 0, best_val: Optional[float] = None,
+                    host: Optional[dict] = None):
+    """Write one checkpoint file.  ``host``: optional pre-fetched state
+    from ``fetch_host_state`` (skips the device fetch)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    if host is None:
+        host = fetch_host_state(train_state)
+    payload = dict(
+        host,
+        epoch=int(epoch),
+        best_val=float("inf") if best_val is None else float(best_val),
+    )
     blob = serialization.msgpack_serialize(payload)
     tmp = path + ".tmp"
     with open(tmp, "wb") as f:

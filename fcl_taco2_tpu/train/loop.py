@@ -264,26 +264,49 @@ class Trainer:
 
     def _run_epochs(self, rng, ts, start_epoch, best_val, bad_epochs, timer,
                     trace, preempt):
+        import time as _time
+
         t = self.tcfg
+        self.loop_stats = []  # per-epoch wall breakdown (results/TRAIN_loop)
         for epoch in range(start_epoch, t.epochs):
             profile = (t.profile_dir is not None and epoch == start_epoch)
             ctx = trace(t.profile_dir) if profile \
                 else contextlib.nullcontext()
+            ep = {"epoch": epoch + 1, "dispatch_s": 0.0, "fetch_s": 0.0,
+                  "first_iter_s": 0.0, "steps": 0, "eval_s": 0.0,
+                  "ckpt_s": 0.0, "plot_s": 0.0}
+            t_epoch = _time.perf_counter()
             with ctx:
-                # metrics are fetched one step late: device_get of step i
-                # overlaps step i+1's device compute (the fetch is a ~30ms
-                # RPC on remote-attached TPUs; per-key float() would cost
-                # that PER KEY)
-                pending = None
-                for i, batch in enumerate(
-                        self._loader(self._epoch_batches(epoch))):
+                # metrics are fetched LATE and in chunks: device_get of
+                # steps [i-K, i) overlaps step i's device compute, and one
+                # pipelined fetch amortizes the link RTT over K steps
+                # (per-step serial fetches cost the ~30ms RPC every step
+                # on remote-attached TPUs)
+                from fcl_taco2_tpu.utils.device import device_get_pipelined
+                K = 8
+                pending = []
+
+                def flush_pending():
+                    for r in device_get_pipelined(pending):
+                        self.reporter.report(r, prefix="main")
+                    pending.clear()
+
+                loader = self._loader(self._epoch_batches(epoch))
+                for i, batch in enumerate(loader):
                     rng, sub = jax.random.split(rng)
                     timer.tic()
+                    t0 = _time.perf_counter()
                     ts, report = self._run_train_step(ts, batch, sub)
-                    if pending is not None:
-                        self.reporter.report(jax.device_get(pending),
-                                             prefix="main")
-                    pending = report
+                    t1 = _time.perf_counter()
+                    pending.append(report)
+                    if len(pending) >= K:
+                        flush_pending()
+                    t2 = _time.perf_counter()
+                    ep["dispatch_s"] += t1 - t0
+                    ep["fetch_s"] += t2 - t1
+                    if i == 0:  # epoch 0's first iter ~= the step compile
+                        ep["first_iter_s"] = t2 - t0
+                    ep["steps"] += 1
                     timer.toc()
                     # in-epoch progress (reference PrintReport/ProgressBar
                     # every 100 iterations, tts.py:584-587)
@@ -298,9 +321,13 @@ class Trainer:
                               " ms/step p50)", flush=True)
                     if preempt.is_set():
                         break
-                if pending is not None:
-                    self.reporter.report(jax.device_get(pending),
-                                         prefix="main")
+                if pending:
+                    t0 = _time.perf_counter()
+                    flush_pending()
+                    ep["fetch_s"] += _time.perf_counter() - t0
+                ep.update({f"loader_{k}": round(v, 4) if k != "batches"
+                           else v for k, v in loader.stats.items()})
+            ep["train_wall_s"] = _time.perf_counter() - t_epoch
             if preempt.is_set():
                 path = os.path.join(t.exp_dir, "snapshot.preempt")
                 # save THIS epoch index: resume restarts the cut epoch
@@ -309,32 +336,55 @@ class Trainer:
                       "(restart with --resume to continue)", flush=True)
                 return ts
             if (epoch + 1) % t.eval_interval_epochs == 0:
+                t0 = _time.perf_counter()
                 rng = self.evaluate(ts, rng)
+                ep["eval_s"] = _time.perf_counter() - t0
+            # persist the wall breakdown with the epoch's metrics so every
+            # run records where its time went (log.jsonl), not just losses
+            extra = dict(timer.summary())
+            extra.update({k: round(v, 4) for k, v in ep.items()
+                          if isinstance(v, float)})
+            extra["steps"] = ep["steps"]
             entry = self.reporter.summarize(epoch + 1, int(ts.step),
-                                            extra=timer.summary())
+                                            extra=extra)
             self.reporter.print_entry(
                 entry, keys=["main/loss", "validation/main/loss"])
 
-            if (epoch + 1) % t.save_interval_epochs == 0:
-                save_checkpoint(os.path.join(
-                    t.exp_dir, f"snapshot.ep.{epoch + 1}"), ts, epoch + 1,
-                    best_val=best_val)
+            val = entry.get("validation/main/loss")
+            improved = val is not None and val < best_val
+            if improved:
+                best_val = val
+                bad_epochs = 0
+            elif val is not None:
+                bad_epochs += 1
+            need_snap = (epoch + 1) % t.save_interval_epochs == 0
+            if need_snap or improved:
+                # ONE device->host fetch feeds both files: the fetch is
+                # the expensive half on remote-attached TPUs (pre-fix it
+                # was 117 s/epoch, results/TRAIN_loop.json), the msgpack
+                # write is cheap
+                t0 = _time.perf_counter()
+                from fcl_taco2_tpu.train.checkpoint import fetch_host_state
+                host = fetch_host_state(ts)
+                if need_snap:
+                    save_checkpoint(
+                        os.path.join(t.exp_dir, f"snapshot.ep.{epoch + 1}"),
+                        epoch=epoch + 1, best_val=best_val, host=host)
+                if improved:
+                    save_checkpoint(
+                        os.path.join(t.exp_dir, "model.loss.best"),
+                        epoch=epoch + 1, best_val=best_val, host=host)
+                ep["ckpt_s"] += _time.perf_counter() - t0
             if t.plot_interval_epochs > 0 and \
                     (epoch + 1) % t.plot_interval_epochs == 0:
+                t0 = _time.perf_counter()
                 self.reporter.plot()  # refresh PNGs mid-run (tts.py:565-581)
-            val = entry.get("validation/main/loss")
-            if val is not None:
-                if val < best_val:
-                    best_val = val
-                    bad_epochs = 0
-                    save_checkpoint(os.path.join(t.exp_dir,
-                                                 "model.loss.best"), ts,
-                                    epoch + 1, best_val=best_val)
-                else:
-                    bad_epochs += 1
-                if t.patience > 0 and bad_epochs >= t.patience:
-                    print(f"early stop at epoch {epoch + 1} "
-                          f"(patience {t.patience})")
-                    break
+                ep["plot_s"] = _time.perf_counter() - t0
+            self.loop_stats.append(ep)
+            if val is not None and t.patience > 0 \
+                    and bad_epochs >= t.patience:
+                print(f"early stop at epoch {epoch + 1} "
+                      f"(patience {t.patience})")
+                break
         self.reporter.plot()
         return ts

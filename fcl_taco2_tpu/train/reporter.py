@@ -76,31 +76,35 @@ class Reporter:
             return
         all_keys = keys or sorted(
             {k for e in self.history for k in e if "/" in k})
+        # ONE reused figure for every PNG: a fresh figure per key costs
+        # ~0.3 s each in matplotlib setup and made per-epoch plotting a
+        # visible slice of the real loop (results/TRAIN_loop.json)
+        fig = plt.figure(figsize=(7, 5))
+        ax = fig.add_subplot(111)
         for key in all_keys:
             xs = [e["epoch"] for e in self.history if key in e]
             ys = [e[key] for e in self.history if key in e]
             if not xs:
                 continue
-            plt.figure(figsize=(6, 4))
-            plt.plot(xs, ys)
-            plt.xlabel("epoch")
-            plt.ylabel(key)
-            plt.grid(True)
+            ax.clear()
+            ax.plot(xs, ys)
+            ax.set_xlabel("epoch")
+            ax.set_ylabel(key)
+            ax.grid(True)
             fname = key.replace("/", "_") + ".png"
-            plt.savefig(os.path.join(self.exp_dir, fname))
-            plt.close()
+            fig.savefig(os.path.join(self.exp_dir, fname))
         # combined loss plot (reference all_loss.png, tts.py:565-581)
         loss_keys = [k for k in all_keys if k.endswith("loss")]
         if loss_keys:
-            plt.figure(figsize=(7, 5))
+            ax.clear()
             for key in loss_keys:
                 xs = [e["epoch"] for e in self.history if key in e]
                 ys = [e[key] for e in self.history if key in e]
                 if xs:
-                    plt.plot(xs, ys, label=key)
-            plt.xlabel("epoch")
-            plt.ylabel("loss")
-            plt.legend(fontsize=7)
-            plt.grid(True)
-            plt.savefig(os.path.join(self.exp_dir, "all_loss.png"))
-            plt.close()
+                    ax.plot(xs, ys, label=key)
+            ax.set_xlabel("epoch")
+            ax.set_ylabel("loss")
+            ax.legend(fontsize=7)
+            ax.grid(True)
+            fig.savefig(os.path.join(self.exp_dir, "all_loss.png"))
+        plt.close(fig)
