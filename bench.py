@@ -10,6 +10,16 @@ reference itself cannot run here since espnet/chainer are not installed).
 The torch number is measured once and cached in BASELINE_local.json.
 
 Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+Flags:
+  --train-scaling   add B=32/64 classed train-step rows (reproduces
+                    results/TRAIN_scaling.json; costs extra multi-minute
+                    compiles, so off the default path)
+
+Headline serving rows carry a ``*_spread`` companion {min,max,reps}: each
+rep is itself the median wall of a multi-iteration jitted loop, so the
+spread bounds run-to-run variance (VERDICT r03 #4 asked for it after an
+int8-vs-bf16 inversion that a single median could not adjudicate).
 """
 
 import json
@@ -38,6 +48,13 @@ def _device_time(call, n_iters, reps=3):
     can return EARLY over the axon device relay (observed 0.1 ms readings
     for a 92 ms train step), so only np.asarray is trusted; the measured
     readback RTT of an already-ready buffer is subtracted."""
+    per = _device_times(call, n_iters, reps)
+    return float(np.median(per))
+
+
+def _device_times(call, n_iters, reps=3):
+    """Per-iteration wall times of ``reps`` independent calls (see
+    _device_time); callers use the list for min/median/max spread."""
     out = call()
     np.asarray(out)  # warm: compile done by caller, buffer now ready
     t0 = time.perf_counter()
@@ -47,8 +64,8 @@ def _device_time(call, n_iters, reps=3):
     for _ in range(reps):
         t0 = time.perf_counter()
         np.asarray(call())
-        per.append(max(time.perf_counter() - t0 - rtt, 1e-9))
-    return float(np.median(per)) / n_iters
+        per.append(max(time.perf_counter() - t0 - rtt, 1e-9) / n_iters)
+    return per
 
 
 def make_inputs(seed=0):
@@ -340,9 +357,13 @@ def train_step_single_class_run():
 def batched_synth_run():
     """Batched serving throughput: B=16 utterances decoded in one jitted
     call (an improvement over the reference's batch-1 loop, tts.py:655-674).
-    Also measures decoder_backend='hybrid' (head tile on the weight-
-    streaming kernel, rest on a residual-bounded scan) — the candidate
-    replacement for the multi-tile scan in auto mode once measured.
+
+    Rows: 'auto' (what a user gets — currently selects hybrid on TPU),
+    'scan' (the plain ragged-scan backend the hybrid is judged against;
+    VERDICT r03 #4: the auto row alone duplicated hybrid and lost the
+    comparison), 'hybrid', and 'hybrid+int8'.  Each row carries a
+    min/max spread over independent rep medians so regressions can be told
+    from run variance.
     """
     import jax
     import jax.numpy as jnp
@@ -365,6 +386,7 @@ def batched_synth_run():
     args = (params, state, jnp.asarray(tokens), jnp.asarray(ilens),
             jnp.asarray(dur))
     for tag, backend in (("batch16_synth_frames_per_sec", "auto"),
+                         ("batch16_synth_scan_frames_per_sec", "scan"),
                          ("batch16_synth_hybrid_frames_per_sec", "hybrid"),
                          ("batch16_synth_hybrid_int8_frames_per_sec",
                           "hybrid+int8")):
@@ -387,10 +409,13 @@ def batched_synth_run():
         try:
             np.asarray(synth_loop(*args, jax.random.PRNGKey(1)))
             reps = iter(range(100))
-            dt = _device_time(
+            per = _device_times(
                 lambda: synth_loop(*args, jax.random.PRNGKey(next(reps))),
-                n)
-            out[tag] = round(frames / dt, 1)
+                n, reps=5)
+            out[tag] = round(frames / float(np.median(per)), 1)
+            out[f"{tag}_spread"] = {
+                "min": round(frames / max(per), 1),
+                "max": round(frames / min(per), 1), "reps": len(per)}
         except Exception as exc:
             out[f"{tag}_error"] = repr(exc)
     return out
