@@ -91,10 +91,17 @@ class Synthesizer:
 
     def _put_batch(self, x):
         """Batch-axis placement: sharded over the mesh when serving
-        multi-chip, plain device transfer otherwise."""
+        multi-chip, plain device transfer otherwise.  Multi-process: every
+        host calls with the SAME logical batch and contributes its
+        addressable shards (the make_global_batch contract,
+        parallel/distributed.py)."""
         if self.mesh is None:
             return jnp.asarray(x)
         from fcl_taco2_tpu.parallel.mesh import batch_shardings
+        if jax.process_count() > 1:
+            x = np.asarray(x)
+            return jax.make_array_from_callback(
+                x.shape, batch_shardings(self.mesh), lambda idx: x[idx])
         return jax.device_put(x, batch_shardings(self.mesh))
 
     def _fn(self, B, Tmax, budget, warm_args=None):
@@ -147,7 +154,15 @@ class Synthesizer:
                    d_factor):
                 return cores[use_dur](params, state, tokens, ilens,
                                       durations, key, d_factor)
-            jitted = jax.jit(fn, static_argnames=("use_dur",))
+            jit_kw = {}
+            if self.mesh is not None and jax.process_count() > 1:
+                # multi-process serving: replicate outputs (the compiled
+                # all-gather is the DataParallel gather semantic,
+                # tts.py:365-373) so every host can read back the full
+                # mels — per-shard outputs would not be addressable here
+                from fcl_taco2_tpu.parallel.mesh import replicated
+                jit_kw["out_shardings"] = replicated(self.mesh)
+            jitted = jax.jit(fn, static_argnames=("use_dur",), **jit_kw)
             if warm_args is not None:
                 # exclude compile time from the speed metric (the reference
                 # measures pure decode wall, tts.py:665-672)

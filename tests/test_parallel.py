@@ -157,3 +157,58 @@ def test_sharded_serving_matches_single_device():
                                     durations=durs)
     for a, b in zip(mels_1, mels_8):
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+def test_two_process_kd_and_serving_match_single_process():
+    """The KD distill step and sharded serving across REAL processes
+    (VERDICT r03 #5): 2 x 4-device jax.distributed workers must reproduce
+    the single-process results (dryrun_multichip additionally certifies
+    the classed-batch and checkpoint-continuity modes)."""
+    import json
+    import os
+    import socket
+    import subprocess
+    import sys
+    import tempfile
+
+    from fcl_taco2_tpu.parallel import _mp_worker
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+    def spawn(mode, steps):
+        with socket.socket() as s:
+            s.bind(("127.0.0.1", 0))
+            port = s.getsockname()[1]
+        out = os.path.join(tempfile.mkdtemp(), "mp0.json")
+        procs = [subprocess.Popen(
+            [sys.executable, "-m", "fcl_taco2_tpu.parallel._mp_worker",
+             "--process-id", str(i), "--num-processes", "2",
+             "--port", str(port), "--local-devices", "4",
+             "--mode", mode, "--steps", str(steps), "--out", out],
+            cwd=repo, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for i in range(2)]
+        logs = []
+        try:
+            for p in procs:
+                stdout, _ = p.communicate(timeout=600)
+                logs.append(stdout)
+            assert all(p.returncode == 0 for p in procs), \
+                f"worker ({mode}) failed:\n" + "\n====\n".join(logs)
+            with open(out) as f:
+                return json.load(f)
+        finally:
+            for p in procs:
+                if p.poll() is None:
+                    p.kill()
+
+    ref_losses, ref_checksum = _mp_worker.run_kd_steps(2)
+    got = spawn("kd", 2)
+    assert got["global_devices"] == 8
+    np.testing.assert_allclose(got["losses"], ref_losses, rtol=2e-4,
+                               atol=1e-5)
+    np.testing.assert_allclose(got["checksum"], ref_checksum, rtol=2e-4)
+
+    ref_sums, ref_frames = _mp_worker.run_serving()
+    got = spawn("serve", 0)
+    assert got["total_frames"] == ref_frames
+    np.testing.assert_allclose(got["mel_sums"], ref_sums, rtol=1e-3)
