@@ -56,7 +56,9 @@ def get_parser():
     p.add_argument("--use-residual", type=strtobool, default=False)
     p.add_argument("--use-masking", type=strtobool, default=True)
     p.add_argument("--use-weighted-masking", type=strtobool, default=False,
-                   help="reference flag; rejected if True (unsupported)")
+                   help="weight each utterance equally in the masked "
+                        "losses (reference semantics) instead of the "
+                        "default frame-weighted masked mean")
     p.add_argument("--spk-embed-dim", type=int, default=None,
                    help="speaker-embedding dim (None/0 = single speaker)")
     p.add_argument("--dropout-rate", type=float, default=0.5)
@@ -67,6 +69,12 @@ def get_parser():
                         "implicitly); '' = single-class legacy shapes. "
                         "Training-only knob; losses are exactly equal "
                         "either way")
+    p.add_argument("--decoder-scan-unroll", type=int, default=1,
+                   help="unroll factor of the teacher-forced decoder "
+                        "scan; amortizes the scan-transpose dW-"
+                        "accumulator HBM traffic (results/"
+                        "PALLAS_decoder.json train_kernel_roofline). "
+                        "Loss-neutral; costs compile time")
     p.add_argument("--zoneout-rng", type=str, default="rbg",
                    choices=("rbg", "threefry"),
                    help="zoneout mask generator: 'rbg' = TPU hardware PRNG "
@@ -188,7 +196,8 @@ def model_config_from_args(args, idim, odim=80):
         use_fe_condition=args.use_fe_condition,
         append_position=args.append_position, max_dur=args.max_dur,
         compute_dtype=args.compute_dtype,
-        remat_decoder=bool(args.remat_decoder))
+        remat_decoder=bool(args.remat_decoder),
+        decoder_scan_unroll=args.decoder_scan_unroll)
 
 
 def infer_idim_odim(valid_json):

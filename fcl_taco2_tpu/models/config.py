@@ -106,6 +106,15 @@ class ModelConfig:
     # ~2x larger batches; jax.checkpoint per SURVEY HBM guidance)
     remat_decoder: bool = False
 
+    # unroll factor of the teacher-forced decoder scan: XLA's scan
+    # transpose reads+writes the (3H,4H) fp32 dW accumulators EVERY scan
+    # iteration (~100 MB/step at H=1024 — the analytic dominant term of
+    # the training step, results/PALLAS_decoder.json
+    # train_kernel_roofline); unrolling u steps per iteration amortizes
+    # that traffic u-fold at the cost of a longer program.  Loss-neutral
+    # (same math, same RNG streams).
+    decoder_scan_unroll: int = 1
+
     def __post_init__(self):
         """Every field is either honored or loudly rejected — a config must
         never lie (silently-ignored knobs were a round-1 defect)."""

@@ -353,7 +353,8 @@ def _teacher_forced_core(params, cfg, enc_seg, seg_targets, position, rng,
         step = jax.checkpoint(step, prevent_cse=False)
 
     xs = (jnp.swapaxes(prenet_all, 0, 1), pos_steps.T, zo_keys)
-    _, outs = lax.scan(step, _zero_carry(P, cfg, dtype), xs)
+    _, outs = lax.scan(step, _zero_carry(P, cfg, dtype), xs,
+                       unroll=max(1, int(cfg.decoder_scan_unroll)))
     z0s = z1s = None
     if capture_kd:
         outs, z0s, z1s = outs

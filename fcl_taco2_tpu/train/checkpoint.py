@@ -36,29 +36,43 @@ def load_model_json(exp_dir):
     return ModelConfig(**payload["model_config"]), payload
 
 
-def _to_host(tree):
-    # pipelined fetch: serial per-leaf np.asarray pays the link RTT per
-    # leaf and dominated the real training loop before
-    # (results/TRAIN_loop.json pre-fix: 117 s/epoch of checkpoint fetch)
-    from fcl_taco2_tpu.utils.device import device_get_pipelined
+def start_state_fetch(train_state: TrainState):
+    """Dispatch the device->host snapshot of a TrainState; returns a
+    zero-arg finisher producing the host dict.
 
-    return device_get_pipelined(tree)
+    The on-device byte-pack is dispatched immediately (fresh buffers —
+    immune to the train step's donation reusing the state's memory), so
+    the finisher may run in a background thread while training continues
+    (AsyncCheckpointWriter).  The chunked-concurrent fetch itself exists
+    because the axon relay caps one D2H stream at ~16 MB/s but parallel
+    streams reach ~42 MB/s (utils/device.device_get_chunked_async)."""
+    from fcl_taco2_tpu.utils.device import device_get_chunked_async
+
+    finish = device_get_chunked_async(
+        (train_state.params, train_state.model_state,
+         train_state.opt_state))
+    step = int(train_state.step)
+
+    def finish_host() -> dict:
+        host = finish()
+        # to_state_dict normalizes lists / optax NamedTuples into plain
+        # string-keyed dicts so the msgpack roundtrip matches
+        # from_state_dict
+        return {
+            "params": serialization.to_state_dict(host[0]),
+            "model_state": serialization.to_state_dict(host[1]),
+            "opt_state": serialization.to_state_dict(host[2]),
+            "step": step,
+        }
+
+    return finish_host
 
 
 def fetch_host_state(train_state: TrainState) -> dict:
     """One device->host fetch of the whole TrainState, reusable across
     several checkpoint files in the same epoch (snapshot.ep.N and
     model.loss.best would otherwise each pay the full fetch)."""
-    # to_state_dict normalizes lists / optax NamedTuples into plain
-    # string-keyed dicts so the msgpack roundtrip matches from_state_dict
-    host = _to_host((train_state.params, train_state.model_state,
-                     train_state.opt_state))
-    return {
-        "params": serialization.to_state_dict(host[0]),
-        "model_state": serialization.to_state_dict(host[1]),
-        "opt_state": serialization.to_state_dict(host[2]),
-        "step": int(train_state.step),
-    }
+    return start_state_fetch(train_state)()
 
 
 def save_checkpoint(path, train_state: Optional[TrainState] = None,
@@ -79,6 +93,59 @@ def save_checkpoint(path, train_state: Optional[TrainState] = None,
     with open(tmp, "wb") as f:
         f.write(blob)
     os.replace(tmp, path)  # atomic: a crash never leaves a torn snapshot
+
+
+class AsyncCheckpointWriter:
+    """Overlap checkpoint fetch+serialize+write with training.
+
+    ``submit`` dispatches the on-device snapshot synchronously (cheap;
+    ordered before any later donating step) and hands the D2H fetch and
+    file writes to a background thread, so the ~seconds of link time ride
+    under the next epoch's compute instead of stalling the loop
+    (results/TRAIN_loop.json: checkpointing dominated epoch wall even
+    after the fetch was pipelined).  At most one job is in flight;
+    submitting waits for the previous job first.  ``wait`` re-raises any
+    background failure — call it before reading the files or returning
+    from training.
+    """
+
+    def __init__(self):
+        import threading
+
+        self._threading = threading
+        self._thread = None
+        self._err = []
+        self.last_bg_s = 0.0   # background wall of the last finished job
+
+    def submit(self, train_state: TrainState, jobs):
+        """jobs: list of (path, epoch, best_val) written from ONE fetch."""
+        import time
+
+        self.wait()
+        finish = start_state_fetch(train_state)
+        jobs = list(jobs)
+
+        def work():
+            t0 = time.perf_counter()
+            try:
+                host = finish()
+                for path, epoch, best_val in jobs:
+                    save_checkpoint(path, epoch=epoch, best_val=best_val,
+                                    host=host)
+            except BaseException as e:
+                self._err.append(e)
+            finally:
+                self.last_bg_s = time.perf_counter() - t0
+
+        self._thread = self._threading.Thread(target=work, daemon=True)
+        self._thread.start()
+
+    def wait(self):
+        if self._thread is not None:
+            self._thread.join()
+            self._thread = None
+        if self._err:
+            raise self._err.pop()
 
 
 def restore_checkpoint(path, template: Optional[TrainState] = None):

@@ -51,7 +51,9 @@ class KDTrainer(Trainer):
         })
 
     def _build_steps(self):
-        self._kd_train_step = make_kd_train_step(self.kd, self.tx, self.mesh)
+        self._report_keys = []  # packed reports, as in Trainer._build_steps
+        self._kd_train_step = make_kd_train_step(
+            self.kd, self.tx, self.mesh, report_keys=self._report_keys)
         self._kd_eval_step = make_kd_eval_step(self.kd, self.mesh)
 
     def _run_train_step(self, ts, batch, rng):

@@ -135,7 +135,12 @@ class Trainer:
 
     def _build_steps(self):
         """Create jitted train/eval steps; KD trainer overrides this."""
-        self.train_step = make_train_step(self.model, self.tx, self.mesh)
+        # packed reports: the step returns ONE (K,) f32 vector instead of
+        # K scalar leaves, so the late metric fetch is one leaf per step
+        # (train/step._pack_report; keys land in self._report_keys)
+        self._report_keys = []
+        self.train_step = make_train_step(self.model, self.tx, self.mesh,
+                                          report_keys=self._report_keys)
         self.eval_step = make_eval_step(self.model, self.mesh)
 
     def _run_train_step(self, ts, batch, rng):
@@ -266,8 +271,14 @@ class Trainer:
                     trace, preempt):
         import time as _time
 
+        from fcl_taco2_tpu.train.checkpoint import AsyncCheckpointWriter
+
         t = self.tcfg
         self.loop_stats = []  # per-epoch wall breakdown (results/TRAIN_loop)
+        # checkpoint fetch+serialize+write rides under the NEXT epoch's
+        # compute; the visible per-epoch cost is only the on-device
+        # snapshot dispatch (+ any wait for a still-running previous job)
+        ckpt_writer = AsyncCheckpointWriter()
         for epoch in range(start_epoch, t.epochs):
             profile = (t.profile_dir is not None and epoch == start_epoch)
             ctx = trace(t.profile_dir) if profile \
@@ -278,17 +289,20 @@ class Trainer:
             t_epoch = _time.perf_counter()
             with ctx:
                 # metrics are fetched LATE and in chunks: device_get of
-                # steps [i-K, i) overlaps step i's device compute, and one
-                # pipelined fetch amortizes the link RTT over K steps
-                # (per-step serial fetches cost the ~30ms RPC every step
-                # on remote-attached TPUs)
+                # steps [i-K, i) overlaps step i's device compute, one
+                # pipelined fetch amortizes the link RTT over K steps,
+                # and each step's report is ONE packed (K,) vector
+                # (_build_steps) so a flush moves K leaves, not K*n_keys
                 from fcl_taco2_tpu.utils.device import device_get_pipelined
-                K = 8
+                K = 64
                 pending = []
 
                 def flush_pending():
                     for r in device_get_pipelined(pending):
-                        self.reporter.report(r, prefix="main")
+                        self.reporter.report(
+                            dict(zip(self._report_keys,
+                                     (float(v) for v in r))),
+                            prefix="main")
                     pending.clear()
 
                 loader = self._loader(self._epoch_batches(epoch))
@@ -329,6 +343,7 @@ class Trainer:
                            else v for k, v in loader.stats.items()})
             ep["train_wall_s"] = _time.perf_counter() - t_epoch
             if preempt.is_set():
+                ckpt_writer.wait()
                 path = os.path.join(t.exp_dir, "snapshot.preempt")
                 # save THIS epoch index: resume restarts the cut epoch
                 save_checkpoint(path, ts, epoch, best_val=best_val)
@@ -359,22 +374,22 @@ class Trainer:
                 bad_epochs += 1
             need_snap = (epoch + 1) % t.save_interval_epochs == 0
             if need_snap or improved:
-                # ONE device->host fetch feeds both files: the fetch is
-                # the expensive half on remote-attached TPUs (pre-fix it
-                # was 117 s/epoch, results/TRAIN_loop.json), the msgpack
-                # write is cheap
+                # ONE device->host fetch feeds both files, and the fetch +
+                # writes run in the background (AsyncCheckpointWriter):
+                # in-loop cost = waiting out any previous job + the
+                # on-device snapshot dispatch
                 t0 = _time.perf_counter()
-                from fcl_taco2_tpu.train.checkpoint import fetch_host_state
-                host = fetch_host_state(ts)
+                jobs = []
                 if need_snap:
-                    save_checkpoint(
-                        os.path.join(t.exp_dir, f"snapshot.ep.{epoch + 1}"),
-                        epoch=epoch + 1, best_val=best_val, host=host)
+                    jobs.append((os.path.join(
+                        t.exp_dir, f"snapshot.ep.{epoch + 1}"),
+                        epoch + 1, best_val))
                 if improved:
-                    save_checkpoint(
-                        os.path.join(t.exp_dir, "model.loss.best"),
-                        epoch=epoch + 1, best_val=best_val, host=host)
+                    jobs.append((os.path.join(t.exp_dir, "model.loss.best"),
+                                 epoch + 1, best_val))
+                ckpt_writer.submit(ts, jobs)
                 ep["ckpt_s"] += _time.perf_counter() - t0
+                ep["ckpt_bg_s"] = round(ckpt_writer.last_bg_s, 4)
             if t.plot_interval_epochs > 0 and \
                     (epoch + 1) % t.plot_interval_epochs == 0:
                 t0 = _time.perf_counter()
@@ -386,5 +401,6 @@ class Trainer:
                 print(f"early stop at epoch {epoch + 1} "
                       f"(patience {t.patience})")
                 break
+        ckpt_writer.wait()  # files must exist before run() returns
         self.reporter.plot()
         return ts

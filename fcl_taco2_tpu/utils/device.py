@@ -67,3 +67,102 @@ def device_get_pipelined(tree):
             except Exception:
                 pass  # non-array leaf or backend without async copy
     return treedef.unflatten([np.asarray(x) for x in leaves])
+
+
+_CHUNK_PACK_CACHE = {}
+
+
+def device_get_chunked(tree, chunk_bytes=4 << 20):
+    """Large-pytree device->host fetch through equal-size concurrent
+    streams — see ``device_get_chunked_async`` (this is its synchronous
+    form)."""
+    return device_get_chunked_async(tree, chunk_bytes)()
+
+
+def device_get_chunked_async(tree, chunk_bytes=4 << 20):
+    """Dispatch the on-device pack NOW; return a zero-arg finisher that
+    completes the device->host fetch (safe to call from another thread).
+
+    One jitted pack turns every leaf into bytes, concatenates, and slices
+    into ~``chunk_bytes`` chunks; the finisher fetches all chunks in
+    parallel and reassembles the leaves host-side.
+
+    Why: the axon relay caps a SINGLE D2H stream at ~16 MB/s but
+    concurrent streams parallelize to ~42 MB/s (measured, 1-4 MB chunks
+    optimal; results/TRAIN_loop.json d2h_probe).  A checkpoint-sized state
+    (~400 MB) has a few dominant 16-33 MB leaves that serialize on the
+    per-stream cap under ``device_get_pipelined``; equal chunks keep every
+    stream busy to the end.  The pack also COPIES: the chunks are fresh
+    buffers, so the fetch stays valid after the caller's original tree is
+    donated to a later train step — the split into dispatch-now /
+    fetch-later is exactly what lets checkpoint.AsyncCheckpointWriter
+    overlap the fetch with the next epoch's compute (the pack is ordered
+    on the device stream BEFORE any subsequent donating step).
+
+    One compile per tree structure (cached); use only on trees with a
+    stable structure across calls — for ragged lists of small leaves use
+    ``device_get_pipelined``.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    leaves, treedef = jax.tree_util.tree_flatten(tree)
+    meta = []          # (is_device, shape, dtype, nbytes)
+    dev_idx = []
+    for i, x in enumerate(leaves):
+        if isinstance(x, jax.Array):
+            meta.append((True, x.shape, np.dtype(x.dtype),
+                         int(np.prod(x.shape, dtype=np.int64))
+                         * np.dtype(x.dtype).itemsize))
+            dev_idx.append(i)
+        else:
+            meta.append((False, None, None, 0))
+    if not dev_idx:
+        return lambda: treedef.unflatten(leaves)
+
+    shapes = tuple((leaves[i].shape, np.dtype(leaves[i].dtype).str)
+                   for i in dev_idx)
+    total = sum(meta[i][3] for i in dev_idx)
+    n_chunks = max(1, min(64, -(-total // chunk_bytes)))
+    key = (shapes, n_chunks)
+    pack = _CHUNK_PACK_CACHE.get(key)
+    if pack is None:
+        bounds = [total * k // n_chunks for k in range(n_chunks + 1)]
+
+        def pack_fn(*arrs):
+            def as_bytes(x):
+                if x.dtype == jnp.bool_:
+                    x = x.astype(jnp.uint8)
+                if x.dtype.itemsize == 1:
+                    return x.reshape(-1)
+                return lax.bitcast_convert_type(
+                    x.reshape(-1), jnp.uint8).reshape(-1)
+
+            flat = jnp.concatenate([as_bytes(x) for x in arrs])
+            return tuple(flat[a:b] for a, b in zip(bounds, bounds[1:]))
+
+        pack = jax.jit(pack_fn)
+        _CHUNK_PACK_CACHE[key] = pack
+
+    chunks = pack(*[leaves[i] for i in dev_idx])
+
+    def finish():
+        for c in chunks:
+            try:
+                c.copy_to_host_async()
+            except Exception:
+                pass
+        buf = np.concatenate([np.asarray(c) for c in chunks])
+        out, off = list(leaves), 0
+        for i in dev_idx:
+            _, shape, dtype, nbytes = meta[i]
+            raw = buf[off:off + nbytes]
+            off += nbytes
+            if dtype == np.bool_:
+                out[i] = raw.astype(np.bool_).reshape(shape)
+            else:
+                out[i] = raw.view(dtype).reshape(shape)
+        return treedef.unflatten(out)
+
+    return finish

@@ -29,6 +29,44 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
+def probe_link(sz_mb=64):
+    """Measure the host<->device link: single-stream D2H vs chunked-
+    concurrent D2H vs H2D.  The D2H asymmetry (one stream ~16 MB/s,
+    16+ concurrent chunks ~42 MB/s on the axon relay) is what
+    utils/device.device_get_chunked_async exploits for checkpoints."""
+    import jax
+    import numpy as np2
+
+    from fcl_taco2_tpu.utils.device import (device_get_chunked,
+                                            warmup_transfers)
+
+    warmup_transfers()
+    n = sz_mb * (1 << 18)  # fp32 elements
+    big = jax.jit(lambda k: jax.random.normal(k, (n,)))(
+        jax.random.PRNGKey(0))
+    np2.asarray(big[:1])
+    t0 = time.perf_counter()
+    np2.asarray(big)
+    t_one = time.perf_counter() - t0
+    fresh = jax.jit(lambda k: jax.random.normal(k, (n,)))(
+        jax.random.PRNGKey(1))  # host-value cache defeats re-fetch of big
+    np2.asarray(fresh[:1])
+    t0 = time.perf_counter()
+    device_get_chunked(fresh)
+    t_chunk = time.perf_counter() - t0
+    h = np2.asarray(np2.random.default_rng(0).normal(size=(n // 4,)),
+                    np2.float32)
+    t0 = time.perf_counter()
+    np2.asarray(jax.device_put(h)[:1])
+    t_h2d = time.perf_counter() - t0
+    return {
+        "size_mb": sz_mb,
+        "d2h_single_stream_mb_s": round(sz_mb / t_one, 1),
+        "d2h_chunked_mb_s": round(sz_mb / t_chunk, 1),
+        "h2d_mb_s": round(sz_mb / 4 / t_h2d, 1),
+    }
+
+
 def device_step_ms(trainer, ts, batch, n=20):
     """bench.py's chained-in-jit protocol on a REAL converted batch: n
     steps inside one fori_loop, completion forced by a host readback
@@ -118,6 +156,8 @@ def main(argv=None):
     tcfg = train_config_from_args(targs)
     tcfg.checkpoint_on_signal = False  # library use here
 
+    link = probe_link()
+    print(f"link probe: {json.dumps(link)}", flush=True)
     t0 = time.time()
     trainer = Trainer(model, tcfg, train_utts, val_utts)
     setup_s = time.time() - t0
@@ -151,6 +191,7 @@ def main(argv=None):
             "train_loop": round(tot("train_wall_s") / len(steady), 3),
             "eval": round(tot("eval_s") / len(steady), 3),
             "checkpoint": round(tot("ckpt_s") / len(steady), 3),
+            "checkpoint_bg": round(tot("ckpt_bg_s") / len(steady), 3),
             "plot": round(tot("plot_s") / len(steady), 3),
         },
         "loader_hidden_s_per_epoch": {
@@ -184,6 +225,7 @@ def main(argv=None):
                       "bench.py chained-in-jit protocol on a real "
                       "converted batch",
         },
+        "link_probe": link,
         "trainer_setup_s": round(setup_s, 1),
         "total_train_wall_s": round(train_wall, 1),
         "first_epoch": {

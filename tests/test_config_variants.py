@@ -35,6 +35,7 @@ VARIANTS = {
     "no_fe": dict(use_fe_condition=False),
     "no_position": dict(append_position=False),
     "residual": dict(use_residual=True),
+    "scan_unroll4": dict(decoder_scan_unroll=4),
 }
 
 
@@ -145,3 +146,18 @@ def test_capture_kd_rejects_unsupported_topology():
     with pytest.raises(ValueError):
         model.loss_fn(params, state, batch, jax.random.PRNGKey(1),
                       capture_kd=True)
+
+
+def test_scan_unroll_is_loss_neutral():
+    """decoder_scan_unroll only changes the compiled loop structure —
+    losses and gradients must match unroll=1 exactly (same ops, same RNG
+    streams)."""
+    cfg1 = tiny_config()
+    cfg4 = cfg1.replace(decoder_scan_unroll=4)
+    batch = synthetic_batch(cfg1, B=2, Tmax=4, n_seg=8)
+    _, _, _, loss1, _, g1 = _loss_and_grads(cfg1, batch)
+    _, _, _, loss4, _, g4 = _loss_and_grads(cfg4, batch)
+    assert loss1 == loss4, (loss1, loss4)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g4)):
+        np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-7)
