@@ -129,6 +129,10 @@ def load_model(exp_dir, ckpt=None):
     tp, tstate = zeros_like_shapes(model.init, jax.random.PRNGKey(0))
     params, state = load_params_only(
         ckpt or os.path.join(exp_dir, "model.loss.best"), tp, tstate)
+    # device arrays, not host numpy: predict_durations jits over these
+    # as closure constants (numpy leaves break under trace — a numpy
+    # embed table cannot be indexed by a traced token array)
+    params, state = jax.device_put((params, state))
     return model, params, state
 
 
