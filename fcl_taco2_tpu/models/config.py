@@ -106,6 +106,18 @@ class ModelConfig:
     # ~2x larger batches; jax.checkpoint per SURVEY HBM guidance)
     remat_decoder: bool = False
 
+    # custom-VJP decoder backward ("strategy B" of results/
+    # PALLAS_decoder.json train_kernel_roofline): the teacher-forced scan
+    # saves (gates, h, c) per step, the backward is a reverse scan carrying
+    # only (dh, dc), and ALL weight gradients are post-scan batched GEMMs
+    # (ops/rnn_vjp.py) — instead of XLA's scan transpose, which
+    # read-modify-writes the (3H,4H) fp32 dW accumulators in HBM every
+    # step (measured 19.85 ms backward vs a 10.07 ms bound at B=16).
+    # Loss-neutral (identical forward math); gradients equal autodiff to
+    # reduction-order. Ignored when remat_decoder or decoder_scan_unroll>1
+    # ask for the autodiff path explicitly.
+    decoder_custom_vjp: bool = True
+
     # unroll factor of the teacher-forced decoder scan: XLA's scan
     # transpose reads+writes the (3H,4H) fp32 dW accumulators EVERY scan
     # iteration (~100 MB/step at H=1024 — the analytic dominant term of

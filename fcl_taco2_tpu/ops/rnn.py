@@ -59,6 +59,29 @@ def lstm_cell(params: LSTMParams, x, h, c, *, precomputed_xproj=None):
     return h_new, c_new
 
 
+def zoneout_keep_masks(zo_key, n, P, H, rate, impl):
+    """``n`` keep-old bernoulli masks for one decoder step, ONE bits call.
+
+    The reference draws each mask with an independent torch RNG op
+    (decoder_sa.py:91-93); a jax translation (split + bernoulli per mask)
+    spends ~20% of the teacher decoder's train-scan time in threefry lane
+    math (results/PALLAS_decoder.json train_scan_experiments).  Batching
+    the draw and, with impl='rbg', lowering to XLA RngBitGenerator (the
+    TPU hardware PRNG) makes the masks nearly free; 'threefry' keeps
+    jax's default counter-based stream.  ``zo_key`` is a raw uint32[2]
+    key-data pair (one per scan step).  Deterministic in ``zo_key`` — the
+    custom-VJP backward (ops/rnn_vjp.py) recomputes the same masks instead
+    of saving them."""
+    if impl == "rbg":
+        key = jax.random.wrap_key_data(jnp.tile(zo_key, 2),
+                                       impl="unsafe_rbg")
+    else:
+        key = jax.random.wrap_key_data(zo_key, impl="threefry2x32")
+    bits = jax.random.bits(key, (n, P, H), jnp.uint32)
+    threshold = jnp.uint32(round(rate * 0xFFFFFFFF))
+    return bits < threshold
+
+
 def zoneout(old, new, rate, *, train, rng=None, keep=None):
     """Zoneout state blend (reference decoder_sa.py:82-96).
 
