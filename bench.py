@@ -68,6 +68,41 @@ def _device_times(call, n_iters, reps=3):
     return per
 
 
+def _interleaved_device_times(calls, n_iters, reps=5):
+    """Per-iteration wall times for several variants with the reps
+    ROUND-ROBINED across them (a/b/c/a/b/c), so chip-state drift over the
+    run lands evenly on every variant instead of masquerading as a
+    backend delta (observed: two reps of the SAME code path 5% apart when
+    the variants were timed in sequential blocks).  Same completion-
+    forcing readback protocol as _device_times.  ``calls``: {tag: call}.
+    Returns {tag: [per-iteration seconds] * reps}."""
+    rtts = {}
+    for tag, call in calls.items():  # warm (compiles done by caller)
+        out = call()
+        np.asarray(out)
+        t0 = time.perf_counter()
+        np.asarray(out)
+        rtts[tag] = time.perf_counter() - t0
+    per = {tag: [] for tag in calls}
+    for _ in range(reps):
+        for tag, call in calls.items():
+            t0 = time.perf_counter()
+            np.asarray(call())
+            per[tag].append(
+                max(time.perf_counter() - t0 - rtts[tag], 1e-9) / n_iters)
+    return per
+
+
+def _spread_rows(tag, per, frames):
+    """frames/s median + min/max spread rows from per-iteration times."""
+    return {
+        tag: round(frames / float(np.median(per)), 1),
+        f"{tag}_spread": {"min": round(frames / max(per), 1),
+                          "max": round(frames / min(per), 1),
+                          "reps": len(per)},
+    }
+
+
 def make_inputs(seed=0):
     rng = np.random.default_rng(seed)
     dur = np.clip(rng.poisson(MEAN_DUR, N_PHONES), 1, MAX_DUR).astype(
@@ -235,6 +270,68 @@ def jax_tpu_run(ragged_decode=True, quantize="none"):
     return frames / dt, frames, jax.devices()[0].platform
 
 
+def batch1_family_run(reps=5):
+    """Teacher batch-1 decode family — headline ragged bf16, legacy
+    max_dur-capped, int8 weight-streaming — compiled together and timed
+    INTERLEAVED with per-row spread (VERDICT r4 weak #5: timing the
+    variants in sequential blocks let chip-state drift flip the
+    int8-vs-bf16 ordering between runs, and the batch-1 rows carried no
+    spread to tell).  Returns (headline_fps, frames, platform, rows)."""
+    import jax
+    import jax.numpy as jnp
+    from fcl_taco2_tpu.models import Tacotron2SA, teacher_config
+
+    cfg = teacher_config(idim=IDIM, odim=ODIM)
+    model = Tacotron2SA(cfg)
+    params, state = jax.jit(model.init)(jax.random.PRNGKey(0))
+    tokens_np, dur_np = make_inputs()
+    args = (params, state, jnp.asarray(tokens_np[None]),
+            jnp.asarray(np.array([N_PHONES], np.int32)),
+            jnp.asarray(dur_np[None]))
+
+    def make_loop(ragged_decode, quantize):
+        @jax.jit
+        def synth_loop(params, state, tokens, ilens, durations, key):
+            def body(i, carry):
+                out = model.synthesize(params, state, tokens, ilens,
+                                       jax.random.fold_in(key, i),
+                                       frame_budget=FRAME_BUDGET,
+                                       durations=durations,
+                                       ragged_decode=ragged_decode,
+                                       quantize=quantize)
+                return out["mel"], out["olens"]
+
+            return jax.lax.fori_loop(0, N_TIMED, body,
+                                     (jnp.zeros((1, FRAME_BUDGET, ODIM)),
+                                      jnp.zeros(1, jnp.int32)))
+
+        return synth_loop
+
+    variants = {
+        "batch1_synthesis_mel_frames_per_sec": (True, "none"),
+        "batch1_synth_capped_frames_per_sec": (False, "none"),
+        "batch1_synth_int8_frames_per_sec": (True, "int8"),
+    }
+    calls, counters, olens = {}, {}, None
+    for tag, (ragged, quant) in variants.items():
+        loop = make_loop(ragged, quant)
+        _, ol = loop(*args, jax.random.PRNGKey(1))
+        np.asarray(ol)  # compile + absorb one-time D2H link init
+        if olens is None:
+            olens = int(np.asarray(ol)[0])
+        counters[tag] = iter(range(1000))
+        calls[tag] = (lambda loop=loop, tag=tag: loop(
+            *args, jax.random.PRNGKey(next(counters[tag])))[0][0, :1, 0])
+    per = _interleaved_device_times(calls, N_TIMED, reps=reps)
+    rows = {}
+    for tag, p in per.items():
+        rows.update(_spread_rows(tag, p, olens))
+    headline = rows.pop("batch1_synthesis_mel_frames_per_sec")
+    rows["batch1_synthesis_spread"] = rows.pop(
+        "batch1_synthesis_mel_frames_per_sec_spread")
+    return headline, olens, jax.devices()[0].platform, rows
+
+
 TRAIN_B = 16            # teacher training batch (teacher_model_training.sh)
 V5E_PEAK_BF16 = 197e12  # one v5e chip, bf16 peak FLOP/s (public spec)
 
@@ -362,8 +459,11 @@ def batched_synth_run():
     'scan' (the plain ragged-scan backend the hybrid is judged against;
     VERDICT r03 #4: the auto row alone duplicated hybrid and lost the
     comparison), 'hybrid', and 'hybrid+int8'.  Each row carries a
-    min/max spread over independent rep medians so regressions can be told
-    from run variance.
+    min/max spread, and the reps are INTERLEAVED across backends
+    (a/b/c/d round-robin) so chip-state drift over the run cannot
+    masquerade as a backend delta (VERDICT r4 weak #5: the r04 'auto'
+    and 'hybrid' rows — the same code path — differed by 5% when timed
+    in sequential blocks).
     """
     import jax
     import jax.numpy as jnp
@@ -385,12 +485,9 @@ def batched_synth_run():
     frames = int(dur.sum())
     args = (params, state, jnp.asarray(tokens), jnp.asarray(ilens),
             jnp.asarray(dur))
-    for tag, backend in (("batch16_synth_frames_per_sec", "auto"),
-                         ("batch16_synth_scan_frames_per_sec", "scan"),
-                         ("batch16_synth_hybrid_frames_per_sec", "hybrid"),
-                         ("batch16_synth_hybrid_int8_frames_per_sec",
-                          "hybrid+int8")):
-        backend, _, q = backend.partition("+")
+
+    def make_loop(backend_spec):
+        backend, _, q = backend_spec.partition("+")
         quantize = q or "none"
 
         @jax.jit
@@ -406,18 +503,26 @@ def batched_synth_run():
 
             return jax.lax.fori_loop(0, n, body, jnp.zeros(1))
 
+        return synth_loop
+
+    calls = {}
+    counters = {}
+    for tag, backend_spec in (
+            ("batch16_synth_frames_per_sec", "auto"),
+            ("batch16_synth_scan_frames_per_sec", "scan"),
+            ("batch16_synth_hybrid_frames_per_sec", "hybrid"),
+            ("batch16_synth_hybrid_int8_frames_per_sec", "hybrid+int8")):
         try:
-            np.asarray(synth_loop(*args, jax.random.PRNGKey(1)))
-            reps = iter(range(100))
-            per = _device_times(
-                lambda: synth_loop(*args, jax.random.PRNGKey(next(reps))),
-                n, reps=5)
-            out[tag] = round(frames / float(np.median(per)), 1)
-            out[f"{tag}_spread"] = {
-                "min": round(frames / max(per), 1),
-                "max": round(frames / min(per), 1), "reps": len(per)}
+            loop = make_loop(backend_spec)
+            np.asarray(loop(*args, jax.random.PRNGKey(1)))  # compile
+            counters[tag] = iter(range(1000))
+            calls[tag] = (lambda loop=loop, tag=tag: loop(
+                *args, jax.random.PRNGKey(next(counters[tag]))))
         except Exception as exc:
             out[f"{tag}_error"] = repr(exc)
+    per = _interleaved_device_times(calls, n, reps=5)
+    for tag, p in per.items():
+        out.update(_spread_rows(tag, p, frames))
     return out
 
 
@@ -532,26 +637,16 @@ def main():
         with open(CACHE, "w") as f:
             json.dump(base, f, indent=2)
 
-    fps, frames, platform = jax_tpu_run()
+    fps, frames, platform, b1_rows = batch1_family_run()
     extra = {"protocol": dict(protocol, train_batch=TRAIN_B,
                               duration_classes=list(DURATION_CLASSES),
                               frame_budget=FRAME_BUDGET,
                               timing="median of jitted loops, compile "
-                                     "excluded, one v5e chip")}
-    def capped_batch1_run():
-        # legacy max_dur-capped decode (ragged_decode=False): the delta
-        # vs the headline is the duration-bounded ragged decode's win
-        fps_c, _, _ = jax_tpu_run(ragged_decode=False)
-        return {"batch1_synth_capped_frames_per_sec": round(fps_c, 1)}
+                                     "excluded, one v5e chip; variant "
+                                     "families rep-interleaved")}
+    extra.update(b1_rows)
 
-    def int8_batch1_run():
-        # int8 weight-only streaming decode (teacher batch-1 rides the
-        # HBM weight-streaming kernel; int8 halves its DMA bytes)
-        fps_q, _, _ = jax_tpu_run(quantize="int8")
-        return {"batch1_synth_int8_frames_per_sec": round(fps_q, 1)}
-
-    runners = [capped_batch1_run, int8_batch1_run, train_step_run,
-               train_step_single_class_run,
+    runners = [train_step_run, train_step_single_class_run,
                batched_synth_run, student_batch1_run, e2e_tts_run]
     if "--train-scaling" in sys.argv:
         # reproduces results/TRAIN_scaling.json (B=32/64 classed-scan

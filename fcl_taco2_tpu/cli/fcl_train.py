@@ -131,6 +131,15 @@ def get_parser():
     p.add_argument("--batch-frames-out", type=int, default=0)
     p.add_argument("--batch-frames-inout", type=int, default=0)
     p.add_argument("--sortagrad", type=int, default=0)
+    # TPU-loop knobs (no reference analogue: remote-link amortizations)
+    p.add_argument("--steps-per-dispatch", type=int, default=1,
+                   help="optimizer steps per jitted dispatch (host-stacked "
+                        "batch groups scanned in one jit; amortizes the "
+                        "per-dispatch link RTT on remote-attached devices)")
+    p.add_argument("--ckpt-opt-dtype", type=str, default=None,
+                   help="fetch optimizer moments in this dtype when "
+                        "checkpointing (e.g. bfloat16: ~halves snapshot "
+                        "bytes; restore upcasts)")
     # optimization (tts_train.py:205-247)
     p.add_argument("--opt", type=str, default="adam",
                    choices=["adam", "noam", "lamb"])
@@ -235,6 +244,8 @@ def train_config_from_args(args):
         enc_init=args.enc_init, enc_init_mods=tuple(args.enc_init_mods),
         dec_init=args.dec_init, dec_init_mods=tuple(args.dec_init_mods),
         freeze_mods=tuple(args.freeze_mods),
+        steps_per_dispatch=args.steps_per_dispatch,
+        ckpt_opt_dtype=args.ckpt_opt_dtype,
         checkpoint_on_signal=True)
 
 

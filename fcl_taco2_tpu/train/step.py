@@ -9,7 +9,8 @@ all-reduce is compiled in by XLA from the sharding layout (parallel/mesh.py).
 import jax
 import jax.numpy as jnp
 
-from fcl_taco2_tpu.parallel.mesh import (batch_shardings, replicated)
+from fcl_taco2_tpu.parallel.mesh import (batch_shardings,
+                                         chained_batch_shardings, replicated)
 from fcl_taco2_tpu.train.state import TrainState
 
 
@@ -64,6 +65,55 @@ def make_train_step(model, tx, mesh=None, donate=True, report_keys=None):
         out_shardings=None,
         donate_argnums=(0,) if donate else (),
     )
+
+
+def make_chained_train_step(model, tx, mesh=None, donate=True,
+                            report_keys=None):
+    """Returns chained(train_state, batches, rngs) -> (train_state,
+    reports): a lax.scan of the train step over a leading chain axis —
+    K optimizer steps per Python dispatch.
+
+    On remote-attached devices every dispatch costs ~10 ms of link RTT +
+    host work (results/TRAIN_loop.json per_step_ms.dispatch), comparable
+    to the 22 ms device step itself; scanning K pre-stacked batches
+    inside one jit amortizes that K-fold.  ``batches``: the Batch pytree
+    with every leaf stacked on a new leading axis (host-side np.stack in
+    the loader — requires the converter's fixed shapes); ``rngs``:
+    (K, 2) uint32 keys.  Reports stack to (K, n_keys) when packed.  One
+    compile per distinct K (the loop uses one K plus a possible
+    remainder group)."""
+
+    def one_step(ts: TrainState, batch, rng):
+        def loss_of(params):
+            loss, (report, new_state, _) = model.loss_fn(
+                params, ts.model_state, batch, rng, train=True)
+            return loss, (report, new_state)
+
+        (loss, (report, new_state)), grads = jax.value_and_grad(
+            loss_of, has_aux=True)(ts.params)
+        updates, opt_state = tx.update(grads, ts.opt_state, ts.params)
+        params = jax.tree_util.tree_map(lambda p, u: p + u, ts.params,
+                                        updates)
+        report = dict(report)
+        report["grad_norm"] = jax.tree_util.tree_reduce(
+            lambda a, g: a + jnp.sum(jnp.square(g)), grads, 0.0) ** 0.5
+        if report_keys is not None:
+            report = _pack_report(report, report_keys)
+        return TrainState(params, new_state, opt_state, ts.step + 1), report
+
+    def chained(ts: TrainState, batches, rngs):
+        def body(carry, xs):
+            batch, rng = xs
+            return one_step(carry, batch, rng)
+
+        return jax.lax.scan(body, ts, (batches, rngs))
+
+    if mesh is None:
+        return jax.jit(chained, donate_argnums=(0,) if donate else ())
+    bsh = chained_batch_shardings(mesh)
+    rep = replicated(mesh)
+    return jax.jit(chained, in_shardings=(None, bsh, rep),
+                   donate_argnums=(0,) if donate else ())
 
 
 def make_kd_train_step(kd, tx, mesh=None, donate=True, report_keys=None):

@@ -175,3 +175,33 @@ def test_sigterm_checkpoints_and_resumes(tmp_path):
     trainer2 = Trainer(model, tcfg2, utts[:6], utts[6:], mesh=make_mesh(1))
     ts2 = trainer2.run()
     assert int(ts2.step) > int(ts.step)
+
+
+def test_chained_dispatch_matches_single_steps(tmp_path):
+    """steps_per_dispatch>1 (train/step.make_chained_train_step): K
+    host-stacked batches scanned in one jit must reproduce the
+    step-at-a-time run EXACTLY — same per-epoch losses, same final
+    params (the chain consumes the identical per-step key slice)."""
+    corpus = write_corpus(str(tmp_path), n_utts=8)
+    utts = load_manifest(corpus)
+    cfg = tiny_config(dropout_rate=0.0, zoneout_rate=0.0)
+    finals = []
+    logs = []
+    for k, tag in ((1, "a"), (2, "b")):
+        model = Tacotron2SA(cfg)
+        exp = os.path.join(str(tmp_path), f"exp_{tag}")
+        tcfg = TrainConfig(exp_dir=exp, epochs=2, batch_size=4, seed=3,
+                           steps_per_dispatch=k)
+        trainer = Trainer(model, tcfg, utts[:6], utts[6:],
+                          mesh=make_mesh(1))
+        finals.append(trainer.run())
+        with open(os.path.join(exp, "log.jsonl")) as f:
+            logs.append([json.loads(l) for l in f])
+    for e1, e2 in zip(*logs):
+        assert e1["steps"] == e2["steps"]
+        np.testing.assert_allclose(e1["main/loss"], e2["main/loss"],
+                                   rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(finals[0].params),
+                    jax.tree_util.tree_leaves(finals[1].params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
