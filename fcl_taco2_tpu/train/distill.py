@@ -55,6 +55,12 @@ class KDTrainer(Trainer):
         self._kd_train_step = make_kd_train_step(
             self.kd, self.tx, self.mesh, report_keys=self._report_keys)
         self._kd_eval_step = make_kd_eval_step(self.kd, self.mesh)
+        # KD steps close over the frozen teacher (extra args), so the
+        # chained multi-step dispatch is not wired for them
+        self.chain_step = None
+        if self.tcfg.steps_per_dispatch > 1:
+            print("steps_per_dispatch: not supported for KD training; "
+                  "running one step per dispatch", flush=True)
 
     def _run_train_step(self, ts, batch, rng):
         return self._kd_train_step(ts, self.teacher_params,
