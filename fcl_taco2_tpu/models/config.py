@@ -114,16 +114,18 @@ class ModelConfig:
     # read-modify-writes the (3H,4H) fp32 dW accumulators in HBM every
     # step (measured 19.85 ms backward vs a 10.07 ms bound at B=16).
     # Loss-neutral (identical forward math); gradients equal autodiff to
-    # reduction-order. Ignored when remat_decoder or decoder_scan_unroll>1
-    # ask for the autodiff path explicitly.
+    # reduction-order. Ignored when remat_decoder asks for the autodiff
+    # path explicitly.
     decoder_custom_vjp: bool = True
 
-    # unroll factor of the teacher-forced decoder scan: XLA's scan
-    # transpose reads+writes the (3H,4H) fp32 dW accumulators EVERY scan
-    # iteration (~100 MB/step at H=1024 — the analytic dominant term of
-    # the training step, results/PALLAS_decoder.json
-    # train_kernel_roofline); unrolling u steps per iteration amortizes
-    # that traffic u-fold at the cost of a longer program.  Loss-neutral
+    # unroll factor of the teacher-forced decoder scan(s).  Under the
+    # custom VJP (default) it unrolls BOTH the forward and reverse scans,
+    # amortizing per-iteration loop overhead without touching weight
+    # gradients (those are post-scan GEMMs).  Under the autodiff path
+    # (decoder_custom_vjp=False / remat) it also amortizes the scan
+    # transpose's per-step (3H,4H) fp32 dW accumulator traffic — but
+    # measured SLOWER there at 4/8 (bytes_accessed grows with unroll,
+    # results/PALLAS_decoder.json decoder_scan_unroll).  Loss-neutral
     # (same math, same RNG streams).
     decoder_scan_unroll: int = 1
 

@@ -331,17 +331,18 @@ def _teacher_forced_core(params, cfg, enc_seg, seg_targets, position, rng,
     # Custom-VJP path (VERDICT r4 #1, roofline "strategy B"): hand-built
     # backward in ops/rnn_vjp.py — reverse scan carries only (dh, dc),
     # weight grads are post-scan batched GEMMs instead of XLA's per-step
-    # HBM dW accumulation.  remat_decoder / decoder_scan_unroll>1
-    # explicitly request the autodiff scan, so they win.
-    if (cfg.decoder_custom_vjp and not cfg.remat_decoder
-            and int(cfg.decoder_scan_unroll) <= 1):
+    # HBM dW accumulation.  remat_decoder explicitly requests the
+    # autodiff scan, so it wins; decoder_scan_unroll applies to the VJP's
+    # own scans (post-strategy-B, unroll no longer multiplies dW traffic).
+    if cfg.decoder_custom_vjp and not cfg.remat_decoder:
         spec = ScanSpec(
             dlayers=cfg.dlayers, dunits=cfg.dunits,
             zoneout_rate=float(cfg.zoneout_rate),
             zoneout_impl=cfg.zoneout_rng, train=bool(train),
             capture_kd=bool(capture_kd),
             append_position=bool(cfg.append_position),
-            use_enc_out=enc_out is not None)
+            use_enc_out=enc_out is not None,
+            unroll=max(1, int(cfg.decoder_scan_unroll)))
         layers = [(params["lstm0"]["wh"], params["lstm0"]["bh"])]
         for i in range(1, cfg.dlayers):
             p = params[f"lstm{i}"]

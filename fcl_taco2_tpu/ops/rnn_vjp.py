@@ -51,6 +51,11 @@ class ScanSpec(NamedTuple):
     capture_kd: bool
     append_position: bool
     use_enc_out: bool  # enc_out operand present (cfg.use_concate)
+    unroll: int = 1    # lax.scan unroll for BOTH scans: with the dW
+    #                    GEMMs post-scan, unrolling no longer multiplies
+    #                    weight-gradient accumulator traffic (the reason
+    #                    unroll>1 lost under autodiff — CLAUDE.md perf
+    #                    notes), it only amortizes loop overhead
 
 
 def _use_zoneout(spec):
@@ -164,7 +169,8 @@ def _scan_fwd(spec, weights, enc_gates, enc_out, prenet_steps, pos_steps,
     pos_xs = pos_steps if pos_steps is not None else jnp.zeros(
         (S, 1), dtype)
     _, (gates_all, h_all, c_all) = lax.scan(
-        step, (zeros, zeros), (prenet_steps, pos_xs, zo_keys))
+        step, (zeros, zeros), (prenet_steps, pos_xs, zo_keys),
+        unroll=max(1, int(spec.unroll)))
     # hoisted feat_out: ONE (S*P, H) GEMM over the saved last-layer h
     outs = jnp.einsum("sph,hw->spw", h_all[:, L - 1], wf_z)
     if spec.use_enc_out:
@@ -255,9 +261,11 @@ def _scan_bwd(spec, residuals, cts):
         return (tuple(new_dhs), tuple(new_dcs)), jnp.stack(dgates_out)
 
     zeros = tuple(jnp.zeros((P, H), dtype) for _ in range(L))
+    unroll = max(1, int(spec.unroll))
     if spec.capture_kd:
         xs = (gates_all, c_prev_all, dh_direct, zo_keys, dz0, dz1)
-        _, dgates_all = lax.scan(step, (zeros, zeros), xs, reverse=True)
+        _, dgates_all = lax.scan(step, (zeros, zeros), xs, reverse=True,
+                                 unroll=unroll)
     else:
         xs = (gates_all, c_prev_all, dh_direct, zo_keys)
 
@@ -265,7 +273,8 @@ def _scan_bwd(spec, residuals, cts):
             g, cp, dd, zk = inp
             return step(carry, (g, cp, dd, zk, None, None))
 
-        _, dgates_all = lax.scan(step_nokd, (zeros, zeros), xs, reverse=True)
+        _, dgates_all = lax.scan(step_nokd, (zeros, zeros), xs,
+                                 reverse=True, unroll=unroll)
 
     # ---- post-scan weight gradients: one batched GEMM each ----
     dgates0 = dgates_all[:, 0]  # (S, P, 4H)

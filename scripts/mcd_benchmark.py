@@ -75,18 +75,22 @@ def main(argv=None):
         results[tag] = dict(summary, frames_per_sec=fps)
 
     if args.stage in ("all", "teacher"):
-        print(f"[1/5] generating {args.n_utts}-utterance corpus ...",
-              flush=True)
-        generate_corpus(corpus, n_utts=args.n_utts, seed=args.corpus_seed,
-                        log=print)
+        if os.path.exists(os.path.join(feat, "train_data.json")):
+            print("[1-2/5] reusing existing corpus + features in "
+                  f"{feat}", flush=True)
+        else:
+            print(f"[1/5] generating {args.n_utts}-utterance corpus ...",
+                  flush=True)
+            generate_corpus(corpus, n_utts=args.n_utts,
+                            seed=args.corpus_seed, log=print)
 
-        print("[2/5] preprocessing (mel/f0/energy, normalize, split) ...",
-              flush=True)
-        fcl_preprocess.main([
-            "--data-root", corpus, "--feature-root", feat,
-            "--textgrid-root", os.path.join(corpus, "tg"),
-            "--n-val", str(args.n_val), "--n-test", str(args.n_test),
-            "--seed", "1"])
+            print("[2/5] preprocessing (mel/f0/energy, normalize, split) "
+                  "...", flush=True)
+            fcl_preprocess.main([
+                "--data-root", corpus, "--feature-root", feat,
+                "--textgrid-root", os.path.join(corpus, "tg"),
+                "--n-val", str(args.n_val), "--n-test", str(args.n_test),
+                "--seed", "1"])
 
         print(f"[3/5] training the 512-d teacher for {args.epochs} "
               "epochs ...", flush=True)

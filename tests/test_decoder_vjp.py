@@ -37,6 +37,7 @@ def _max_rel_err(g0, g1):
     {"reduction_factor": 2, "max_dur": 6},
     {"zoneout_rate": 0.0},
     {"zoneout_rng": "rbg"},
+    {"decoder_scan_unroll": 4},
 ])
 def test_core_grads_match_autodiff(variant):
     cfg = tiny_config(postnet_layers=0, **variant)
