@@ -122,56 +122,110 @@ class AsyncCheckpointWriter:
     file writes to a background thread, so the ~seconds of link time ride
     under the next epoch's compute instead of stalling the loop
     (results/TRAIN_loop.json: checkpointing dominated epoch wall even
-    after the fetch was pipelined).  At most one job is in flight.
+    after the fetch was pipelined).
 
-    Drop-behind (VERDICT r4 weak #4): when epochs are SHORTER than one
-    background fetch, blocking on the previous job re-serializes the loop
-    (measured 52 s of every 57 s epoch at save_interval=1).  A
-    ``droppable=True`` submit — periodic snapshots, never best/preempt/
-    final — is SKIPPED while the previous job is still running; the next
-    eligible epoch snapshots instead.  ``skipped`` counts them.
+    submit NEVER blocks the loop (VERDICT r4 weak #4 + r5: the old
+    "non-droppable submits wait out the in-flight job" rule re-serialized
+    the loop whenever validation improved — which is MOST epochs early in
+    a run — costing a full background fetch per epoch).  While a job is
+    in flight:
+    - droppable jobs (periodic snapshots, never best/final/preempt) are
+      SKIPPED; the next eligible epoch snapshots instead (``skipped``);
+    - must-write jobs (model.loss.best, the final snapshot) COALESCE
+      into a pending slot keyed by path — a newer best supersedes an
+      unwritten older one (``coalesced``), which is exactly the file's
+      semantics — and start the moment the worker frees.  Each pending
+      entry holds its OWN on-device snapshot, so donation cannot corrupt
+      it and the written bytes are the state at ITS submit time.
 
-    ``wait`` re-raises the first background failure (draining and logging
-    any others — a failed previous job otherwise surfaces at an unrelated
-    later call) — call it before reading the files or returning from
-    training.  ``last_bg`` holds the last finished job's wall/bytes/phase
-    breakdown: {'total_s', 'fetch_s', 'serialize_s', 'write_s',
-    'bytes', 'files'}.
+    ``wait`` drains the running job AND the pending chain, then re-raises
+    the first background failure (logging any others — a failed previous
+    job otherwise surfaces at an unrelated later call) — call it before
+    reading the files or returning from training.  ``last_bg`` holds the
+    last finished job's wall/bytes/phase breakdown: {'total_s',
+    'fetch_s', 'serialize_s', 'write_s', 'bytes', 'files'}.
     """
 
     def __init__(self, opt_state_dtype=None):
         import threading
 
         self._threading = threading
+        self._lock = threading.Lock()
         self._thread = None
+        self._pending = {}     # path -> (finish, epoch, best_val)
         self._err = []
         self._opt_state_dtype = opt_state_dtype
-        self.skipped = 0       # droppable submits skipped (job in flight)
+        self.skipped = 0       # droppable jobs skipped (job in flight)
+        self.coalesced = 0     # pending must-writes superseded by newer
         self.last_bg = {}      # phase breakdown of the last finished job
         self.last_bg_s = 0.0   # background wall of the last finished job
 
-    def submit(self, train_state: TrainState, jobs, droppable=False):
-        """jobs: list of (path, epoch, best_val) written from ONE fetch.
-        Returns False if skipped under the drop-behind policy."""
-        import time
+    def _busy_locked(self):
+        return (self._thread is not None and self._thread.is_alive()) \
+            or bool(self._pending)
 
-        if droppable and self._thread is not None \
-                and self._thread.is_alive():
-            self.skipped += 1
-            return False
-        self.wait()
+    def submit(self, train_state: TrainState, jobs, droppable=False):
+        """jobs: list of (path, epoch, best_val) or (path, epoch,
+        best_val, must) written from ONE fetch.  ``droppable`` sets the
+        default must-flag for 3-tuples (droppable=True => must=False).
+        Never blocks; returns False if every job was skipped."""
+        self._raise_bg_errors()
+
+        def must(j):
+            return j[3] if len(j) > 3 else not droppable
+
+        with self._lock:
+            busy = self._busy_locked()
+        if busy:
+            kept = [j for j in jobs if must(j)]
+            self.skipped += len(jobs) - len(kept)
+            if not kept:
+                return False
+        else:
+            kept = list(jobs)
+        # on-device snapshot NOW: fresh buffers, ordered before any later
+        # donating step (start_state_fetch), so pending entries stay valid
         finish = start_state_fetch(train_state,
                                    opt_state_dtype=self._opt_state_dtype)
-        jobs = list(jobs)
+        triples = [(j[0], j[1], j[2]) for j in kept]
+        with self._lock:
+            if self._thread is not None and self._thread.is_alive():
+                for path, epoch, best_val in triples:
+                    if path in self._pending:
+                        self.coalesced += 1
+                    self._pending[path] = (finish, epoch, best_val)
+            else:
+                self._start_locked([(finish, triples)])
+        return True
 
-        def work():
-            t0 = time.perf_counter()
-            bg = {"files": len(jobs)}
-            try:
-                host = finish()
+    def _take_pending_locked(self):
+        """Group pending entries by their fetch into bundles."""
+        groups = {}
+        for path, (finish, epoch, best_val) in self._pending.items():
+            groups.setdefault(id(finish), (finish, []))[1].append(
+                (path, epoch, best_val))
+        self._pending = {}
+        return list(groups.values())
+
+    def _start_locked(self, bundles):
+        self._thread = self._threading.Thread(
+            target=self._work, args=(bundles,), daemon=True)
+        self._thread.start()
+
+    def _work(self, bundles):
+        import time
+
+        t0 = time.perf_counter()
+        bg = {"files": sum(len(jobs) for _, jobs in bundles),
+              "fetch_s": 0.0, "serialize_s": 0.0, "write_s": 0.0,
+              "bytes": 0}
+        try:
+            for finish, jobs in bundles:
                 t1 = time.perf_counter()
-                bg["fetch_s"] = round(t1 - t0, 4)
-                bg["bytes"] = int(sum(
+                host = finish()
+                t2 = time.perf_counter()
+                bg["fetch_s"] += t2 - t1
+                bg["bytes"] += int(sum(
                     leaf.nbytes for leaf in jax.tree_util.tree_leaves(host)
                     if hasattr(leaf, "nbytes")))
                 # serialize ONCE per unique (epoch, best_val) payload —
@@ -183,8 +237,8 @@ class AsyncCheckpointWriter:
                     if key not in blobs:
                         blobs[key] = serialization.msgpack_serialize(
                             dict(host, epoch=key[0], best_val=key[1]))
-                t2 = time.perf_counter()
-                bg["serialize_s"] = round(t2 - t1, 4)
+                t3 = time.perf_counter()
+                bg["serialize_s"] += t3 - t2
                 for path, epoch, best_val in jobs:
                     key = (int(epoch), float("inf") if best_val is None
                            else float(best_val))
@@ -194,28 +248,42 @@ class AsyncCheckpointWriter:
                     with open(tmp, "wb") as f:
                         f.write(blobs[key])
                     os.replace(tmp, path)
-                bg["write_s"] = round(time.perf_counter() - t2, 4)
-            except BaseException as e:
-                self._err.append(e)
-            finally:
-                bg["total_s"] = round(time.perf_counter() - t0, 4)
-                self.last_bg = bg
-                self.last_bg_s = bg["total_s"]
+                bg["write_s"] += time.perf_counter() - t3
+        except BaseException as e:
+            self._err.append(e)
+        finally:
+            for k in ("fetch_s", "serialize_s", "write_s"):
+                bg[k] = round(bg[k], 4)
+            bg["total_s"] = round(time.perf_counter() - t0, 4)
+            self.last_bg = bg
+            self.last_bg_s = bg["total_s"]
+            with self._lock:
+                if self._pending:
+                    self._start_locked(self._take_pending_locked())
 
-        self._thread = self._threading.Thread(target=work, daemon=True)
-        self._thread.start()
-        return True
-
-    def wait(self):
-        if self._thread is not None:
-            self._thread.join()
-            self._thread = None
+    def _raise_bg_errors(self):
         if self._err:
             errs, self._err = list(self._err), []
             for e in errs[1:]:
                 print("AsyncCheckpointWriter: additional background "
                       f"failure: {e!r}", flush=True)
             raise errs[0]
+
+    def wait(self):
+        while True:
+            with self._lock:
+                t = self._thread
+            if t is not None and t.is_alive():
+                t.join()
+                continue  # the worker may have chained a pending bundle
+            with self._lock:
+                if self._pending:
+                    # worker finished between checks without chaining
+                    self._start_locked(self._take_pending_locked())
+                    continue
+                self._thread = None
+                break
+        self._raise_bg_errors()
 
 
 def restore_checkpoint(path, template: Optional[TrainState] = None):

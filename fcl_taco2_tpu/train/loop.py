@@ -363,11 +363,16 @@ class Trainer:
             t_epoch = _time.perf_counter()
             with ctx:
                 # metrics are fetched LATE and in chunks: device_get of
-                # steps [i-K, i) overlaps step i's device compute, one
-                # pipelined fetch amortizes the link RTT over K steps,
-                # and each step's report is ONE packed (K,) vector
-                # (_build_steps) so a flush moves K leaves, not K*n_keys
-                K = 64
+                # steps [i-K, i) overlaps step i's device compute on the
+                # flusher thread, and each step's report is ONE packed
+                # vector (_build_steps) so a flush moves K leaves, not
+                # K*n_keys.  K is SMALL because only the epoch-end drain
+                # of the last chunk is exposed to the loop: at K=64 a
+                # 25-step epoch never flushed mid-epoch and the whole
+                # readback serialized at the drain (61.7 ms/step on a
+                # degraded relay, results/TRAIN_loop.json r5); at K=8 the
+                # exposed drain is one ~RTT fetch of <=8 vectors.
+                K = 8
                 pending = []
 
                 def flush_pending():
@@ -478,26 +483,27 @@ class Trainer:
             need_snap = (epoch + 1) % t.save_interval_epochs == 0
             if need_snap or improved:
                 # ONE device->host fetch feeds both files, and the fetch +
-                # writes run in the background (AsyncCheckpointWriter).
-                # A periodic-only snapshot is droppable: when epochs are
-                # shorter than one fetch, blocking would re-serialize the
-                # loop (52 s of every 57 s epoch, results/TRAIN_loop.json)
-                # — the next eligible epoch snapshots instead.  Best-model
-                # and the final epoch always wait.
+                # writes run in the background (AsyncCheckpointWriter) —
+                # submit NEVER blocks.  A periodic snapshot is droppable
+                # (skipped while a fetch is in flight; the next eligible
+                # epoch snapshots instead) except on the final epoch;
+                # model.loss.best is a must-write that coalesces — a newer
+                # best supersedes an unwritten older one, and the run-end
+                # wait() guarantees the newest lands on disk.
                 t0 = _time.perf_counter()
                 jobs = []
                 if need_snap:
                     jobs.append((os.path.join(
                         t.exp_dir, f"snapshot.ep.{epoch + 1}"),
-                        epoch + 1, best_val))
+                        epoch + 1, best_val, (epoch + 1) >= t.epochs))
                 if improved:
                     jobs.append((os.path.join(t.exp_dir, "model.loss.best"),
-                                 epoch + 1, best_val))
-                droppable = not improved and (epoch + 1) < t.epochs
-                ckpt_writer.submit(ts, jobs, droppable=droppable)
+                                 epoch + 1, best_val, True))
+                ckpt_writer.submit(ts, jobs)
                 ep["ckpt_s"] += _time.perf_counter() - t0
                 ep["ckpt_bg_s"] = round(ckpt_writer.last_bg_s, 4)
                 ep["ckpt_skipped"] = ckpt_writer.skipped
+                ep["ckpt_coalesced"] = ckpt_writer.coalesced
                 if ckpt_writer.last_bg:
                     ep["ckpt_bg"] = dict(ckpt_writer.last_bg)
             if t.plot_interval_epochs > 0 and \

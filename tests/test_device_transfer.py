@@ -133,6 +133,58 @@ def test_async_checkpoint_writer_matches_sync(tmp_path):
     assert int(got.step) == int(got2.step) == 7
 
 
+def test_async_checkpoint_writer_nonblocking_coalesce(tmp_path,
+                                                      monkeypatch):
+    """While a job is in flight: droppable jobs skip, must-writes
+    coalesce by path (newest state wins), and submit never blocks."""
+    import threading
+    import time
+
+    from fcl_taco2_tpu.train import checkpoint as C
+
+    cfg = tiny_config()
+    _, _, ts = _tiny_train_state(cfg)
+    gate = threading.Event()
+    real = C.start_state_fetch
+    calls = []
+
+    def gated_fetch(train_state, opt_state_dtype=None):
+        fin = real(train_state, opt_state_dtype=opt_state_dtype)
+        first = not calls
+        calls.append(1)
+
+        def finish():
+            if first:
+                assert gate.wait(timeout=30), "test gate never opened"
+            return fin()
+
+        return finish
+
+    monkeypatch.setattr(C, "start_state_fetch", gated_fetch)
+    w = C.AsyncCheckpointWriter()
+    snap1 = os.path.join(str(tmp_path), "snapshot.ep.1")
+    snap2 = os.path.join(str(tmp_path), "snapshot.ep.2")
+    best = os.path.join(str(tmp_path), "model.loss.best")
+    t0 = time.perf_counter()
+    assert w.submit(ts, [(snap1, 1, 2.0)])  # in flight, held by the gate
+    # droppable periodic while busy -> skipped
+    assert not w.submit(ts, [(snap2, 2, 2.0)], droppable=True)
+    # two must-write bests while busy -> pending, newest supersedes
+    assert w.submit(ts, [(best, 2, 1.5, True)])
+    ts3 = TrainState(ts.params, ts.model_state, ts.opt_state,
+                     jnp.int32(9))
+    assert w.submit(ts3, [(best, 3, 1.0, True)])
+    assert w.skipped == 1 and w.coalesced == 1
+    assert time.perf_counter() - t0 < 10, "submit must not block"
+    gate.set()
+    w.wait()
+    got, ep, bv = restore_checkpoint(best, ts)
+    assert (ep, bv) == (3, 1.0)
+    assert int(got.step) == 9, "coalesced best must hold the NEWEST state"
+    assert os.path.exists(snap1)
+    assert not os.path.exists(snap2), "droppable job must be skipped"
+
+
 def test_async_checkpoint_writer_reraises(tmp_path):
     cfg = tiny_config()
     _, _, ts = _tiny_train_state(cfg)
