@@ -140,6 +140,13 @@ def get_parser():
                    help="fetch optimizer moments in this dtype when "
                         "checkpointing (e.g. bfloat16: ~halves snapshot "
                         "bytes; restore upcasts)")
+    p.add_argument("--device-cache", type=str, default="auto",
+                   choices=["auto", "on", "off"],
+                   help="device-resident dataset cache: assemble batches "
+                        "on device so per-step H2D is one small plan "
+                        "vector (auto: when supported and it fits "
+                        "--device-cache-max-mb)")
+    p.add_argument("--device-cache-max-mb", type=int, default=2048)
     # optimization (tts_train.py:205-247)
     p.add_argument("--opt", type=str, default="adam",
                    choices=["adam", "noam", "lamb"])
@@ -246,6 +253,8 @@ def train_config_from_args(args):
         freeze_mods=tuple(args.freeze_mods),
         steps_per_dispatch=args.steps_per_dispatch,
         ckpt_opt_dtype=args.ckpt_opt_dtype,
+        device_cache=args.device_cache,
+        device_cache_max_mb=args.device_cache_max_mb,
         checkpoint_on_signal=True)
 
 

@@ -89,6 +89,15 @@ class TrainConfig:
     # adam's mu/nu are 2/3 of a snapshot's bytes over the slow relay
     # link); None = exact fp32.  restore upcasts to the live dtype.
     ckpt_opt_dtype: Optional[str] = None
+    # device-resident dataset cache (data/device_cache.py): upload every
+    # utterance's padded feature rows once and assemble batches on device
+    # — per-step H2D collapses from the dense batch (~MBs) to one packed
+    # int32 plan vector (~tens of KB).  "auto" enables it when supported
+    # (fixed shapes, no host mel transform, single process/device, no
+    # step chaining) and the cache fits device_cache_max_mb; "on" errors
+    # if unsupported; "off" always streams from host.
+    device_cache: str = "auto"
+    device_cache_max_mb: int = 2048
     # preemption safety: on SIGTERM/SIGINT, finish the in-flight step, save
     # snapshot.preempt, and return cleanly (resumable via --resume).  The
     # reference loses everything since its last 10-epoch amp checkpoint
@@ -140,9 +149,48 @@ class Trainer:
         self._build_steps()
         from fcl_taco2_tpu.utils.device import warmup_transfers
         warmup_transfers()  # absorb the one-time D2H link init (axon relay)
+        self._dcache = self._maybe_device_cache()
         self.reporter = Reporter(tcfg.exp_dir)
         save_model_json(tcfg.exp_dir, model.cfg,
                         extra={"train_config": dataclasses.asdict(tcfg)})
+
+    def _maybe_device_cache(self):
+        """Build the device-resident dataset cache when configured and
+        supported (data/device_cache.py): batches then assemble on device
+        and per-step H2D drops to one small packed plan vector."""
+        t = self.tcfg
+        if t.device_cache == "off":
+            return None
+        on = t.device_cache == "on"
+
+        def no(reason):
+            if on:
+                raise ValueError(f"device_cache=on but {reason}")
+            return None
+
+        if not t.fixed_shapes:
+            return no("fixed_shapes is off")
+        if self.converter.transform is not None:
+            return no("a host mel transform (preprocess_conf) is set")
+        if t.steps_per_dispatch > 1:
+            return no("steps_per_dispatch chains host-stacked batches")
+        if self.mesh.devices.size > 1 or jax.process_count() > 1:
+            return no("multi-device/multi-process runs stream from host")
+        utts = list(self.train_utts) + list(self.val_utts)
+        from fcl_taco2_tpu.data.device_cache import (DeviceBatchCache,
+                                                     estimate_cache_bytes)
+        est = estimate_cache_bytes(self.converter, len(utts))
+        if not on and est > t.device_cache_max_mb * (1 << 20):
+            print(f"device_cache: dataset ~{est / (1 << 20):.0f} MB "
+                  f"exceeds device_cache_max_mb={t.device_cache_max_mb}; "
+                  "streaming from host", flush=True)
+            return None
+        dc = DeviceBatchCache(self.converter, utts,
+                              device=self.mesh.devices.flat[0])
+        print(f"device_cache: {len(utts)} utterances resident on device "
+              f"({dc.bytes / (1 << 20):.1f} MB); per-step H2D is the "
+              "packed plan vector only", flush=True)
+        return dc
 
     def _build_steps(self):
         """Create jitted train/eval steps; KD trainer overrides this."""
@@ -233,6 +281,12 @@ class Trainer:
         # evaluate runs), so toggling the shared converter's mode is safe
         self.converter.transform_train = train
         if chain <= 1:
+            if self._dcache is not None:
+                # host stage builds the small plan pack; "put" uploads it
+                # and gathers the batch on device — one worker keeps up
+                # easily (the pack is ~tens of KB vs MBs of dense batch)
+                return PrefetchLoader(batches, self._dcache.plan,
+                                      self._dcache.assemble, put_workers=1)
             return PrefetchLoader(batches, self.converter,
                                   lambda b: make_global_batch(self.mesh, b))
         # chain mode: groups of EXACTLY ``chain`` batches are converted,
