@@ -132,10 +132,12 @@ def get_parser():
     p.add_argument("--batch-frames-inout", type=int, default=0)
     p.add_argument("--sortagrad", type=int, default=0)
     # TPU-loop knobs (no reference analogue: remote-link amortizations)
-    p.add_argument("--steps-per-dispatch", type=int, default=1,
-                   help="optimizer steps per jitted dispatch (host-stacked "
-                        "batch groups scanned in one jit; amortizes the "
-                        "per-dispatch link RTT on remote-attached devices)")
+    p.add_argument("--steps-per-dispatch", type=int, default=0,
+                   help="optimizer steps per jitted dispatch (batch groups "
+                        "scanned in one jit; amortizes the per-dispatch "
+                        "link RTT on remote-attached devices). 0 = auto: "
+                        "4 when the device cache is active (chained plan "
+                        "packs are ~KBs), else 1")
     p.add_argument("--ckpt-opt-dtype", type=str, default=None,
                    help="fetch optimizer moments in this dtype when "
                         "checkpointing (e.g. bfloat16: ~halves snapshot "

@@ -184,18 +184,35 @@ class DeviceBatchCache:
 
     # ---------- per-batch device stage (PrefetchLoader put_fn) ----------
 
+    def static_layout(self):
+        """The packed plan vector's segment sizes, derivable from the
+        converter's corpus-fit config alone (fixed shapes make plan()
+        emit this exact layout for every batch)."""
+        conv, B, L = self.converter, self.B, self.Lmax
+        if conv.duration_classes:
+            seg = [c for P_c in conv.class_caps for c in (P_c,) * 4]
+        else:
+            seg = [conv.fixed_nseg] * 4
+        return tuple([B] + seg + [B * L])
+
     def assemble(self, packed_and_layout):
         packed, layout = packed_and_layout
         with self._lock:
             if self._assemble is None:
-                self._assemble = self._make_assemble(layout)
+                self._assemble = jax.jit(self.raw_assemble(layout))
             elif layout != self._layout:
                 raise ValueError("plan layout changed mid-run (fixed "
                                  "shapes should make it constant)")
         return self._assemble(jax.device_put(packed, self.device))
 
-    def _make_assemble(self, layout):
+    def raw_assemble(self, layout=None):
+        """Unjitted (P,) int32 plan vector -> Batch gather program —
+        trace it inside a larger jit (e.g. the chained train step scans
+        assemble+step over stacked packs, train/step.py) or jit it
+        standalone (``assemble``).  The cache arrays ride as captured
+        device constants: zero per-call H2D."""
         conv, B, T, L = self.converter, self.B, self.Tmax, self.Lmax
+        layout = self.static_layout() if layout is None else layout
         self._layout = layout
         cache = self.cache
         classed = bool(conv.duration_classes)
@@ -248,4 +265,4 @@ class DeviceBatchCache:
                          frame_mask=fm, position=pos, utt_gather=ug,
                          utt_mask=utt_mask, **common)
 
-        return jax.jit(assemble)
+        return assemble

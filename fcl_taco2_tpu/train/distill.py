@@ -58,6 +58,7 @@ class KDTrainer(Trainer):
         # KD steps close over the frozen teacher (extra args), so the
         # chained multi-step dispatch is not wired for them
         self.chain_step = None
+        self._spd = 1
         if self.tcfg.steps_per_dispatch > 1:
             print("steps_per_dispatch: not supported for KD training; "
                   "running one step per dispatch", flush=True)

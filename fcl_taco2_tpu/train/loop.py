@@ -83,7 +83,12 @@ class TrainConfig:
     # one jit, amortizing the ~10 ms/dispatch link RTT of remote-attached
     # devices K-fold.  Requires fixed_shapes; single-process only (the
     # remainder of an epoch runs as single steps).  1 = off.
-    steps_per_dispatch: int = 1
+    # 0 = auto: 4 when the device cache is active (the chained packs are
+    # ~KBs and the equivalence is test-pinned, so chaining is free),
+    # 1 otherwise (host-stacked dense chaining multiplies H2D bytes per
+    # dispatch, so it stays opt-in).  SIGTERM/log granularity becomes
+    # the chain length.
+    steps_per_dispatch: int = 0
     # checkpoint byte-narrowing: fetch optimizer moments in this dtype
     # (e.g. "bfloat16" — they are noise-tolerant running statistics and
     # adam's mu/nu are 2/3 of a snapshot's bytes over the slow relay
@@ -92,10 +97,12 @@ class TrainConfig:
     # device-resident dataset cache (data/device_cache.py): upload every
     # utterance's padded feature rows once and assemble batches on device
     # — per-step H2D collapses from the dense batch (~MBs) to one packed
-    # int32 plan vector (~tens of KB).  "auto" enables it when supported
-    # (fixed shapes, no host mel transform, single process/device, no
-    # step chaining) and the cache fits device_cache_max_mb; "on" errors
-    # if unsupported; "off" always streams from host.
+    # int32 plan vector (~tens of KB).  Composes with steps_per_dispatch
+    # > 1: the chained step scans assemble+step over stacked plan packs,
+    # so K steps cost ONE dispatch and ~KBs of H2D.  "auto" enables it
+    # when supported (fixed shapes, no host mel transform, single
+    # process/device) and the cache fits device_cache_max_mb; "on"
+    # errors if unsupported; "off" always streams from host.
     device_cache: str = "auto"
     device_cache_max_mb: int = 2048
     # preemption safety: on SIGTERM/SIGINT, finish the in-flight step, save
@@ -146,10 +153,11 @@ class Trainer:
             accum_grad=tcfg.accum_grad,
             noam_model_size=model.cfg.embed_dim,
             freeze_mods=tcfg.freeze_mods)
-        self._build_steps()
         from fcl_taco2_tpu.utils.device import warmup_transfers
         warmup_transfers()  # absorb the one-time D2H link init (axon relay)
         self._dcache = self._maybe_device_cache()
+        self._build_steps()  # after _dcache: the chained step scans
+        # assemble+step over stacked plan packs when the cache is active
         self.reporter = Reporter(tcfg.exp_dir)
         save_model_json(tcfg.exp_dir, model.cfg,
                         extra={"train_config": dataclasses.asdict(tcfg)})
@@ -172,8 +180,6 @@ class Trainer:
             return no("fixed_shapes is off")
         if self.converter.transform is not None:
             return no("a host mel transform (preprocess_conf) is set")
-        if t.steps_per_dispatch > 1:
-            return no("steps_per_dispatch chains host-stacked batches")
         if self.mesh.devices.size > 1 or jax.process_count() > 1:
             return no("multi-device/multi-process runs stream from host")
         utts = list(self.train_utts) + list(self.val_utts)
@@ -202,18 +208,27 @@ class Trainer:
                                           report_keys=self._report_keys)
         self.eval_step = make_eval_step(self.model, self.mesh)
         self.chain_step = None
-        if self.tcfg.steps_per_dispatch > 1:
+        self._spd = self.tcfg.steps_per_dispatch
+        if self._spd == 0:  # auto: chain only when it's ~free (plan packs)
+            self._spd = 4 if self._dcache is not None else 1
+        if self._spd > 1:
             if not self.tcfg.fixed_shapes:
                 raise ValueError("steps_per_dispatch > 1 requires "
                                  "fixed_shapes (host-side batch stacking)")
             if jax.process_count() > 1:
                 print("steps_per_dispatch: disabled on multi-process runs",
                       flush=True)
+                self._spd = 1
             else:
                 from fcl_taco2_tpu.train.step import make_chained_train_step
+                # with the device cache, the chained step scans
+                # assemble+step over (K, P) stacked plan packs: K steps
+                # per dispatch AND ~KB-scale H2D (data/device_cache.py)
                 self.chain_step = make_chained_train_step(
                     self.model, self.tx, self.mesh,
-                    report_keys=self._report_keys)
+                    report_keys=self._report_keys,
+                    assemble=None if self._dcache is None
+                    else self._dcache.raw_assemble())
 
     def _run_train_step(self, ts, batch, rng):
         return self.train_step(ts, batch, rng)
@@ -293,12 +308,32 @@ class Trainer:
         # host-stacked on a new leading axis and uploaded as one buffer
         # (tagged "chain"); the epoch remainder rides as single batches
         # so only two programs ever compile
-        from fcl_taco2_tpu.parallel.mesh import shard_chained_batch
         groups, i = [], 0
         while i + chain <= len(batches):
             groups.append(batches[i:i + chain])
             i += chain
         groups.extend([b] for b in batches[i:])
+
+        if self._dcache is not None:
+            # device-cache chain: stack the ~KB plan packs, not dense
+            # batches — the chained step assembles each Batch on device
+            dc = self._dcache
+
+            def convert(group):
+                packs = [dc.plan(b) for b in group]
+                if len(packs) == 1:
+                    return ("single", packs[0])
+                return ("chain", np.stack([p for p, _ in packs]))
+
+            def put(item):
+                kind, b = item
+                if kind == "single":
+                    return (kind, dc.assemble(b))
+                return (kind, jax.device_put(b, dc.device))
+
+            return PrefetchLoader(groups, convert, put, put_workers=1)
+
+        from fcl_taco2_tpu.parallel.mesh import shard_chained_batch
 
         def convert(group):
             items = [self.converter(b) for b in group]
@@ -436,7 +471,7 @@ class Trainer:
                         flusher.submit(self._fetch_and_report, chunk))
 
                 batches = self._epoch_batches(epoch)
-                chain = t.steps_per_dispatch if self.chain_step else 1
+                chain = self._spd if self.chain_step else 1
                 loader = self._loader(batches, chain=chain)
                 # ONE PRNG split + host fetch per epoch instead of a
                 # split dispatch per step — on remote-attached devices

@@ -68,7 +68,7 @@ def make_train_step(model, tx, mesh=None, donate=True, report_keys=None):
 
 
 def make_chained_train_step(model, tx, mesh=None, donate=True,
-                            report_keys=None):
+                            report_keys=None, assemble=None):
     """Returns chained(train_state, batches, rngs) -> (train_state,
     reports): a lax.scan of the train step over a leading chain axis —
     K optimizer steps per Python dispatch.
@@ -81,7 +81,15 @@ def make_chained_train_step(model, tx, mesh=None, donate=True,
     the loader — requires the converter's fixed shapes); ``rngs``:
     (K, 2) uint32 keys.  Reports stack to (K, n_keys) when packed.  One
     compile per distinct K (the loop uses one K plus a possible
-    remainder group)."""
+    remainder group).
+
+    ``assemble`` (DeviceBatchCache.raw_assemble): when given, ``batches``
+    is instead a (K, P) int32 array of packed plan vectors and each scan
+    iteration gathers its Batch from the device-resident dataset cache —
+    K optimizer steps then cost ONE dispatch and ~K*P*4 bytes of H2D
+    (the cache rides as captured device constants).  Single-device only
+    (the Trainer's device-cache gate enforces it), so no mesh shardings
+    apply."""
 
     def one_step(ts: TrainState, batch, rng):
         def loss_of(params):
@@ -104,11 +112,13 @@ def make_chained_train_step(model, tx, mesh=None, donate=True,
     def chained(ts: TrainState, batches, rngs):
         def body(carry, xs):
             batch, rng = xs
+            if assemble is not None:
+                batch = assemble(batch)
             return one_step(carry, batch, rng)
 
         return jax.lax.scan(body, ts, (batches, rngs))
 
-    if mesh is None:
+    if mesh is None or assemble is not None:
         return jax.jit(chained, donate_argnums=(0,) if donate else ())
     bsh = chained_batch_shardings(mesh)
     rep = replicated(mesh)

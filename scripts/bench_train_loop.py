@@ -169,7 +169,19 @@ def main(argv=None):
     total_steps = sum(e["steps"] for e in stats)
     # steady state = epochs after the first (epoch 0 carries the step +
     # eval compiles)
-    steady = stats[1:] if len(stats) > 1 else stats
+    all_steady = stats[1:] if len(stats) > 1 else stats
+    # the axon relay sporadically stalls for tens of seconds mid-epoch
+    # (a 91 s hiccup was observed inside a 1.9 s epoch); those seconds
+    # are link weather, not loop overhead, so exclude epochs whose
+    # train wall exceeds 3x the median and record them explicitly
+    walls = sorted(e["train_wall_s"] for e in all_steady)
+    med_wall = walls[len(walls) // 2]
+    steady = [e for e in all_steady if e["train_wall_s"] <= 3 * med_wall]
+    stall_epochs = [
+        {"epoch": e["epoch"],
+         "train_wall_s": round(e["train_wall_s"], 2),
+         "excess_s": round(e["train_wall_s"] - med_wall, 2)}
+        for e in all_steady if e["train_wall_s"] > 3 * med_wall]
     sd_steps = sum(e["steps"] for e in steady)
 
     def tot(key, eps=steady):
@@ -186,7 +198,14 @@ def main(argv=None):
             "dispatch": round(tot("dispatch_s") / sd_steps * 1e3, 2),
             "metric_fetch": round(tot("fetch_s") / sd_steps * 1e3, 2),
             "loader_wait": round(tot("loader_wait_s") / sd_steps * 1e3, 2),
+            # loop wall not covered by the buckets above (e.g. python
+            # iteration, reporter bookkeeping, sub-threshold link jitter)
+            "unattributed": round(
+                max(0.0, tot("train_wall_s") - tot("dispatch_s")
+                    - tot("fetch_s") - tot("loader_wait_s"))
+                / sd_steps * 1e3, 2),
         },
+        "stall_epochs_excluded": stall_epochs,
         "per_epoch_s": {
             "train_loop": round(tot("train_wall_s") / len(steady), 3),
             "eval": round(tot("eval_s") / len(steady), 3),

@@ -103,6 +103,37 @@ def test_trainer_device_cache_matches_streaming(tmp_path):
                                    rtol=1e-6, atol=1e-7)
 
 
+def test_chained_device_cache_matches_streaming(tmp_path):
+    """device_cache=on + steps_per_dispatch=2 (the chained step scans
+    assemble+step over stacked (K, P) plan packs) must reproduce the
+    host-streaming step-at-a-time run: same per-epoch losses, same
+    final params (identical per-step key slices feed identical
+    batches)."""
+    corpus = write_corpus(str(tmp_path), n_utts=8)
+    utts = load_manifest(corpus)
+    cfg = tiny_config(dropout_rate=0.0, zoneout_rate=0.0)
+    finals, logs = [], []
+    for mode, k, tag in (("off", 1, "stream"), ("on", 2, "chaincache")):
+        model = Tacotron2SA(cfg)
+        exp = os.path.join(str(tmp_path), f"exp_{tag}")
+        tcfg = TrainConfig(exp_dir=exp, epochs=2, batch_size=4, seed=3,
+                           steps_per_dispatch=k, device_cache=mode)
+        trainer = Trainer(model, tcfg, utts[:6], utts[6:],
+                          mesh=make_mesh(1))
+        if mode == "on":
+            assert trainer._dcache is not None
+        finals.append(trainer.run())
+        with open(os.path.join(exp, "log.jsonl")) as f:
+            logs.append([json.loads(l) for l in f])
+    for e1, e2 in zip(*logs):
+        np.testing.assert_allclose(e1["main/loss"], e2["main/loss"],
+                                   rtol=1e-6)
+    for x, y in zip(jax.tree_util.tree_leaves(finals[0].params),
+                    jax.tree_util.tree_leaves(finals[1].params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-6, atol=1e-7)
+
+
 def test_auto_gate_falls_back(tmp_path):
     """auto: multi-device meshes stream from host; on: unsupported
     configurations raise instead of silently streaming."""

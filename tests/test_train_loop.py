@@ -191,7 +191,7 @@ def test_chained_dispatch_matches_single_steps(tmp_path):
         model = Tacotron2SA(cfg)
         exp = os.path.join(str(tmp_path), f"exp_{tag}")
         tcfg = TrainConfig(exp_dir=exp, epochs=2, batch_size=4, seed=3,
-                           steps_per_dispatch=k)
+                           steps_per_dispatch=k, device_cache="off")
         trainer = Trainer(model, tcfg, utts[:6], utts[6:],
                           mesh=make_mesh(1))
         finals.append(trainer.run())
