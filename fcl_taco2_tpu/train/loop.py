@@ -557,8 +557,11 @@ class Trainer:
             extra.update({k: round(v, 4) for k, v in ep.items()
                           if isinstance(v, float)})
             extra["steps"] = ep["steps"]
+            # write=False: the ckpt/plot walls below are added to the
+            # entry before it lands in log.jsonl (they happen after the
+            # losses this entry carries decide whether to checkpoint)
             entry = self.reporter.summarize(epoch + 1, int(ts.step),
-                                            extra=extra)
+                                            extra=extra, write=False)
             self.reporter.print_entry(
                 entry, keys=["main/loss", "validation/main/loss"])
 
@@ -600,6 +603,10 @@ class Trainer:
                 t0 = _time.perf_counter()
                 self.reporter.plot()  # refresh PNGs mid-run (tts.py:565-581)
                 ep["plot_s"] = _time.perf_counter() - t0
+            entry.update({k: (round(v, 4) if isinstance(v, float) else v)
+                          for k, v in ep.items()
+                          if k.startswith("ckpt") or k == "plot_s"})
+            self.reporter.write_entry(entry)
             self.loop_stats.append(ep)
             if val is not None and t.patience > 0 \
                     and bad_epochs >= t.patience:

@@ -48,7 +48,11 @@ class Reporter:
             return {k: self._sums[k] / (self._counts[k] or 1.0)
                     for k in keys if k in self._sums}
 
-    def summarize(self, epoch, step, extra=None):
+    def summarize(self, epoch, step, extra=None, write=True):
+        """``write=False`` defers the log.jsonl append (write_entry) so
+        the caller can add late fields — e.g. the checkpoint wall times,
+        which only exist after the entry's losses are needed to decide
+        whether to checkpoint at all (train/loop.py)."""
         entry = {"epoch": epoch, "step": step,
                  "elapsed_sec": round(time.time() - self._t0, 2)}
         with self._lock:
@@ -59,9 +63,13 @@ class Reporter:
         if extra:
             entry.update(extra)
         self.history.append(entry)
+        if write:
+            self.write_entry(entry)
+        return entry
+
+    def write_entry(self, entry):
         with open(self.log_path, "a") as f:
             f.write(json.dumps(entry) + "\n")
-        return entry
 
     def print_entry(self, entry, keys=None):
         keys = keys or [k for k in entry if "/" in k]
