@@ -46,9 +46,20 @@ def tile_step_bounds(flat_dur):
 
 
 def _dropout_bits(shape, rate):
-    """Bernoulli keep mask from on-core PRNG; scale kept values."""
-    bits = pltpu.prng_random_bits(shape)  # uint32
-    threshold = jnp.uint32(int((1.0 - rate) * 0xFFFFFFFF))
+    """Bernoulli keep mask from on-core PRNG; scale kept values.
+
+    pltpu.prng_random_bits returns SIGNED int32 (its abstract eval is
+    int32), uniform over the full 32-bit range — so the keep threshold
+    must live in the signed domain: keep iff bits < -2^31 +
+    round((1-rate)*2^32).  The uint32 threshold this used before r5
+    compared as INT32_MAX for rate <= 0.5, keeping ~everything while
+    still scaling by 1/(1-rate): the kernels applied no dropout and ran
+    ~2x-hot prenet activations (+7.4 dB teacher MCD,
+    results/MCD_e2e.json backend_quality row).  Statistics pinned by
+    tests/test_pallas_decoder.py::test_dropout_bits_statistics."""
+    bits = pltpu.prng_random_bits(shape)  # int32, full-range uniform
+    t = int((1.0 - rate) * 4294967296.0) - 2147483648
+    threshold = jnp.int32(max(min(t, 2147483647), -2147483648))
     return (bits < threshold).astype(jnp.float32) / (1.0 - rate)
 
 

@@ -75,6 +75,29 @@ def test_fused_dropout_is_stochastic_but_bounded(monkeypatch):
     assert not np.allclose(np.asarray(a), np.asarray(b))  # different seeds
 
 
+def test_dropout_bits_statistics(monkeypatch):
+    """_dropout_bits must be UNBIASED inverted dropout under the
+    hardware PRNG semantics (pltpu.prng_random_bits -> SIGNED int32,
+    full-range uniform; its abstract eval is int32): keep fraction
+    ~= 1-rate and E[mask] ~= 1.  The pre-fix uint32 threshold compared
+    as INT32_MAX for rate <= 0.5 and kept ~everything at 1/(1-rate)
+    scale — no dropout, 2x-hot prenet, +7.4 dB teacher MCD
+    (results/MCD_e2e.json backend_quality)."""
+    import fcl_taco2_tpu.ops.decoder_pallas as dp
+
+    rng = np.random.default_rng(0)
+    bits = jnp.asarray(rng.integers(-2 ** 31, 2 ** 31, size=(512, 512),
+                                    dtype=np.int64).astype(np.int32))
+    monkeypatch.setattr(dp.pltpu, "prng_random_bits", lambda shape: bits)
+    for rate in (0.1, 0.5, 0.9):
+        m = np.asarray(dp._dropout_bits(bits.shape, rate))
+        keep = (m > 0).mean()
+        assert abs(keep - (1 - rate)) < 5e-3, (rate, keep)
+        assert abs(m.mean() - 1.0) < 2e-2, (rate, m.mean())
+        np.testing.assert_allclose(m[m > 0], 1.0 / (1.0 - rate),
+                                   rtol=1e-5)
+
+
 def test_hbm_stream_kernel_matches_scan(monkeypatch):
     """Weight-streaming teacher kernel (fused_ar_decode_hbm, interpret
     mode): exact vs the lax.scan path with fp32 weights; the DMA chunk
