@@ -84,6 +84,27 @@ def duration_metrics(preds, gts):
     }
 
 
+def oracle_metrics(feat_dir, test_utts, gts):
+    """Train-split per-token conditional-mean predictor — the best any
+    model can do from token identity alone on this corpus."""
+    from fcl_taco2_tpu.data import load_manifest
+    from fcl_taco2_tpu.data.manifest import load_durations
+
+    train = load_manifest(os.path.join(feat_dir, "train_data.json"))
+    toks = np.concatenate([np.asarray(u.tokenids, np.int64)
+                           for u in train])
+    durs = np.concatenate([np.asarray(load_durations(u), np.int64)
+                           for u in train])
+    means = {int(t): durs[toks == t].mean() for t in np.unique(toks)}
+    gmean = durs.mean()
+    preds = [np.asarray([means.get(int(t), gmean) for t in u.tokenids])
+             for u in test_utts]
+    out = duration_metrics(preds, gts)
+    out["what"] = ("train-split per-token conditional mean (learnable "
+                   "floor; fractional frames, no rounding)")
+    return out
+
+
 def mcd_with_durations(model, params, state, utts, mel_stats, durations,
                        batch=8, seed=1):
     """Synthesize with explicit per-utterance durations (or None for the
@@ -170,6 +191,15 @@ def main(argv=None):
     payload["teacher_durations"] = duration_metrics(t_preds, gts)
     print("teacher durations:",
           json.dumps(payload["teacher_durations"]), flush=True)
+
+    # learnable floor: the synthetic corpus samples each phone's duration
+    # as noise around a per-token mean (audio/synthcorpus.py), so the
+    # best predictor given token identity is the train-split per-token
+    # conditional mean — any model metric at/near this oracle is at the
+    # corpus's information floor, not underfit
+    payload["oracle_durations"] = oracle_metrics(args.feat_dir, utts, gts)
+    print("oracle (train-split per-token mean):",
+          json.dumps(payload["oracle_durations"]), flush=True)
 
     if args.student_exp:
         s_model, s_params, s_state = load_model(args.student_exp)

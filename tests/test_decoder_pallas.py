@@ -73,6 +73,14 @@ def test_fused_dropout_is_stochastic_but_bounded(monkeypatch):
     b = dp.fused_ar_decode(params, enc_seg, position, 1, dropout=0.5)
     assert np.isfinite(np.asarray(a)).all()
     assert not np.allclose(np.asarray(a), np.asarray(b))  # different seeds
+    # unbiasedness on hardware: inverted dropout preserves expected
+    # activation scale, so the mel RMS with dropout on must sit near the
+    # deterministic level — the signed-threshold regression (see
+    # _dropout_bits) ran ~2x-hot prenets and shifted this materially
+    det = dp.fused_ar_decode(params, enc_seg, position, 0, dropout=0.0)
+    rms = lambda x: float(np.sqrt((np.asarray(x) ** 2).mean()))
+    ratio = (rms(a) + rms(b)) / (2 * rms(det))
+    assert 0.7 < ratio < 1.4, ratio
 
 
 def test_dropout_bits_statistics(monkeypatch):
